@@ -1,0 +1,238 @@
+"""One-electron integrals: overlap, kinetic, nuclear attraction, multipole.
+
+TPU-native formulation (replaces libcint's int1e drivers, SURVEY.md §2.2):
+for each (la, lb) shell-class pair we evaluate the contracted cartesian block
+with fully static shapes (primitive dimension padded per class, zero
+coefficients killing the padding) and ``vmap`` over all shell pairs of the
+class. Spherical transformation is applied inside the vmapped kernel, and the
+blocks are scattered into the AO matrix with precomputed index grids.
+
+Everything is traced w.r.t. ``coords`` so nuclear gradients of every 1e term
+come from ``jax.grad`` — the TPU-first answer to libcint's hand-coded
+derivative integrals (used by the reference via PySCF's ``mf.Gradients``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cctpu.core.basis import BasisSet, cart2sph, cart_components, nsph
+from cctpu.ints.md import e_table_1d, r_tensor
+
+
+def _pair_e_tables(la: int, lb: int, ea, eb, A, B):
+    """E tables for all 3 directions. ea: [npA,1], eb: [1,npB]; A,B: [3]."""
+    tabs = []
+    for d in range(3):
+        tabs.append(e_table_1d(la, lb, ea, eb, A[d] - B[d]))
+    return tabs
+
+
+def _overlap_kinetic_block(la: int, lb: int, ea, ca, A, eb, cb, B):
+    """Contracted cartesian overlap and kinetic blocks [ncA, ncB].
+
+    ea, ca: [npA]; eb, cb: [npB]; A, B: [3].
+    """
+    a = ea[:, None]
+    b = eb[None, :]
+    p = a + b
+    coef = ca[:, None] * cb[None, :]
+    pref = (math.pi / p) ** 1.5 * coef
+
+    # E tables up to lb+2 on the b side for the kinetic derivative relation.
+    Ex, Ey, Ez = _pair_e_tables(la, lb + 2, a, b, A, B)
+    E = (Ex, Ey, Ez)
+
+    def s1d(d, i, j):
+        if j < 0:
+            return 0.0
+        return E[d][i][j][0]
+
+    compsA = cart_components(la)
+    compsB = cart_components(lb)
+    S = []
+    T = []
+    for ia, (ax, ay, az) in enumerate(compsA):
+        rowS, rowT = [], []
+        for ib, (bx, by, bz) in enumerate(compsB):
+            sx, sy, sz = s1d(0, ax, bx), s1d(1, ay, by), s1d(2, az, bz)
+            rowS.append(jnp.sum(pref * sx * sy * sz))
+
+            def t1d(d, i, j):
+                out = -2.0 * b * b * s1d(d, i, j + 2) \
+                      + b * (2 * j + 1) * s1d(d, i, j)
+                if j >= 2:
+                    out = out - 0.5 * j * (j - 1) * s1d(d, i, j - 2)
+                return out
+
+            tx, ty, tz = t1d(0, ax, bx), t1d(1, ay, by), t1d(2, az, bz)
+            rowT.append(jnp.sum(pref * (tx * sy * sz + sx * ty * sz
+                                        + sx * sy * tz)))
+        S.append(jnp.stack(rowS))
+        T.append(jnp.stack(rowT))
+    return jnp.stack(S), jnp.stack(T)
+
+
+def _nuclear_block(la: int, lb: int, ea, ca, A, eb, cb, B,
+                   atom_coords, atom_charges):
+    """Contracted cartesian nuclear-attraction block [ncA, ncB]."""
+    a = ea[:, None]
+    b = eb[None, :]
+    p = a + b
+    coef = ca[:, None] * cb[None, :]
+    P = (a[..., None] * A + b[..., None] * B) / p[..., None]  # [npA,npB,3]
+
+    Ex, Ey, Ez = _pair_e_tables(la, lb, a, b, A, B)
+    E = (Ex, Ey, Ez)
+
+    ltot = la + lb
+    # PC: [npA, npB, natm, 3]
+    PC = P[:, :, None, :] - atom_coords[None, None, :, :]
+    R = r_tensor(ltot, p[..., None], PC)   # each entry [npA, npB, natm]
+
+    pref = (2.0 * math.pi / p) * coef      # [npA, npB]
+    compsA = cart_components(la)
+    compsB = cart_components(lb)
+    out = []
+    for (ax, ay, az) in compsA:
+        row = []
+        for (bx, by, bz) in compsB:
+            acc = 0.0
+            for t in range(ax + bx + 1):
+                for u in range(ay + by + 1):
+                    for v in range(az + bz + 1):
+                        acc = acc + (Ex[ax][bx][t] * Ey[ay][by][u]
+                                     * Ez[az][bz][v])[..., None] * R[(t, u, v)]
+            # acc: [npA, npB, natm]; contract charges and primitives
+            row.append(-jnp.sum(pref[..., None] * acc * atom_charges))
+        out.append(jnp.stack(row))
+    return jnp.stack(out)
+
+
+def _dipole_block(la: int, lb: int, ea, ca, A, eb, cb, B, origin):
+    """Contracted cartesian dipole blocks [3, ncA, ncB] (moment about origin)."""
+    a = ea[:, None]
+    b = eb[None, :]
+    p = a + b
+    coef = ca[:, None] * cb[None, :]
+    pref = (math.pi / p) ** 1.5 * coef
+    P = (a[..., None] * A + b[..., None] * B) / p[..., None]
+
+    Ex, Ey, Ez = _pair_e_tables(la, lb, a, b, A, B)
+    E = (Ex, Ey, Ez)
+
+    def s1d(d, i, j):
+        return E[d][i][j][0]
+
+    def m1d(d, i, j):
+        # <i| (x - origin_d) |j> 1D Hermite relation: E_1 + (P - C) E_0
+        e1 = E[d][i][j][1] if i + j >= 1 else 0.0
+        return e1 + (P[..., d] - origin[d]) * E[d][i][j][0]
+
+    compsA = cart_components(la)
+    compsB = cart_components(lb)
+    out = []
+    for d in range(3):
+        mat = []
+        for (ax, ay, az) in compsA:
+            row = []
+            for (bx, by, bz) in compsB:
+                ii = (ax, ay, az)
+                jj = (bx, by, bz)
+                fac = [s1d(k, ii[k], jj[k]) for k in range(3)]
+                fac[d] = m1d(d, ii[d], jj[d])
+                row.append(jnp.sum(pref * fac[0] * fac[1] * fac[2]))
+            mat.append(jnp.stack(row))
+        out.append(jnp.stack(mat))
+    return jnp.stack(out)
+
+
+def _to_sph(block_cart, la: int, lb: int):
+    Ta = jnp.asarray(cart2sph(la))
+    Tb = jnp.asarray(cart2sph(lb))
+    return jnp.einsum("ac,...cd,bd->...ab", Ta, block_cart, Tb)
+
+
+def build_int1e(basis: BasisSet, coords, charges,
+                with_dipole: bool = False, dipole_origin=None):
+    """S, T, V (and optionally dipole) AO matrices.
+
+    coords: [natm, 3] (traced — gradients flow); charges: [natm].
+    Returns dict with 'S', 'T', 'V' (+ 'dipole' [3, nao, nao]).
+    """
+    nao = basis.nao
+    S = jnp.zeros((nao, nao))
+    T = jnp.zeros((nao, nao))
+    V = jnp.zeros((nao, nao))
+    D = jnp.zeros((3, nao, nao)) if with_dipole else None
+    if dipole_origin is None:
+        dipole_origin = jnp.zeros(3)
+
+    ls = sorted(basis.groups)
+    for la in ls:
+        ga = basis.groups[la]
+        for lb in ls:
+            if lb < la:
+                continue
+            gb = basis.groups[lb]
+            # all (i, j) pairs of the two groups
+            nA, nB = len(ga.shell_idx), len(gb.shell_idx)
+            ia, ib = np.mgrid[0:nA, 0:nB]
+            ia, ib = ia.ravel(), ib.ravel()
+            if la == lb:
+                keep = ia <= ib
+                ia, ib = ia[keep], ib[keep]
+
+            eA = jnp.asarray(ga.exps[ia])
+            cA = jnp.asarray(ga.coefs[ia])
+            eB = jnp.asarray(gb.exps[ib])
+            cB = jnp.asarray(gb.coefs[ib])
+            RA = coords[ga.atom_idx[ia]]
+            RB = coords[gb.atom_idx[ib]]
+
+            def st_fn(ea, ca, A, eb, cb, B):
+                s, t = _overlap_kinetic_block(la, lb, ea, ca, A, eb, cb, B)
+                return _to_sph(s, la, lb), _to_sph(t, la, lb)
+
+            def v_fn(ea, ca, A, eb, cb, B):
+                v = _nuclear_block(la, lb, ea, ca, A, eb, cb, B,
+                                   coords, charges)
+                return _to_sph(v, la, lb)
+
+            sblk, tblk = jax.vmap(st_fn)(eA, cA, RA, eB, cB, RB)
+            vblk = jax.vmap(v_fn)(eA, cA, RA, eB, cB, RB)
+
+            rows = ga.ao_start[ia][:, None] + np.arange(nsph(la))
+            cols = gb.ao_start[ib][:, None] + np.arange(nsph(lb))
+            r_idx = rows[:, :, None]
+            c_idx = cols[:, None, :]
+            S = S.at[r_idx, c_idx].set(sblk)
+            T = T.at[r_idx, c_idx].set(tblk)
+            V = V.at[r_idx, c_idx].set(vblk)
+            S = S.at[c_idx.swapaxes(1, 2), r_idx.swapaxes(1, 2)].set(
+                jnp.swapaxes(sblk, 1, 2))
+            T = T.at[c_idx.swapaxes(1, 2), r_idx.swapaxes(1, 2)].set(
+                jnp.swapaxes(tblk, 1, 2))
+            V = V.at[c_idx.swapaxes(1, 2), r_idx.swapaxes(1, 2)].set(
+                jnp.swapaxes(vblk, 1, 2))
+
+            if with_dipole:
+                def d_fn(ea, ca, A, eb, cb, B):
+                    dd = _dipole_block(la, lb, ea, ca, A, eb, cb, B,
+                                       dipole_origin)
+                    return _to_sph(dd, la, lb)
+                dblk = jax.vmap(d_fn)(eA, cA, RA, eB, cB, RB)  # [np,3,sa,sb]
+                D = D.at[:, r_idx, c_idx].set(jnp.moveaxis(dblk, 1, 0))
+                D = D.at[:, c_idx.swapaxes(1, 2), r_idx.swapaxes(1, 2)].set(
+                    jnp.moveaxis(jnp.swapaxes(dblk, 2, 3), 1, 0))
+
+    out = {"S": S, "T": T, "V": V}
+    if with_dipole:
+        out["dipole"] = D
+    return out

@@ -1,0 +1,293 @@
+"""Two-electron repulsion integrals (ERIs): 4-center, 3-center (DF), 2-center.
+
+TPU-native McMurchie–Davidson formulation (replaces libcint's CINTgout2e and
+gpu4pyscf's CUDA Rys kernels — SURVEY.md §2.2): shell quartets are grouped by
+angular-momentum class so every kernel instance has fully static shapes, the
+primitive dimension is padded per class, and the quartet batch axis is
+``vmap``ed. The Hermite bra/ket expansion tensors hit the MXU through einsum
+contractions; class batches are chunked to bound VMEM/HBM.
+
+A 3c2e integral (P|ab) is the same kernel with a dummy s-function (exponent
+0, coefficient 1) paired with the auxiliary shell — no special code path.
+
+``omega`` support (erf-attenuated Coulomb for range-separated hybrids like
+CAM-B3LYP/wB97X — reference templates/calculate_uv_spectrum.py methods) enters
+through the Boys ladder: with rho = pq/(p+q) and s = w^2/(rho+w^2),
+F_n(T) -> sqrt(s) * s^n * F_n(s*T), which is exactly the Hermite-consistent
+long-range kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cctpu.core.basis import BasisSet, cart2sph, cart_components, ncart, nsph
+from cctpu.ints.boys import boys
+from cctpu.ints.md import e_table_1d
+
+
+def _hermite_3d(la: int, lb: int, ea, eb, A, B, coef):
+    """Hermite expansion tensor E3[K, ncA*ncB, (lab+1)^3] for a shell pair.
+
+    ea: [npA], eb: [npB], A,B: [3]; coef: [npA,npB] contraction product.
+    K = npA*npB flattened primitive-pair axis.
+    """
+    a = ea[:, None]
+    b = eb[None, :]
+    lab = la + lb
+    Ex = e_table_1d(la, lb, a, b, A[0] - B[0])
+    Ey = e_table_1d(la, lb, a, b, A[1] - B[1])
+    Ez = e_table_1d(la, lb, a, b, A[2] - B[2])
+    compsA = cart_components(la)
+    compsB = cart_components(lb)
+    box = lab + 1
+    zero = jnp.zeros_like(a * b)
+    rows = []
+    for (ax, ay, az) in compsA:
+        for (bx, by, bz) in compsB:
+            entries = []
+            for t in range(box):
+                for u in range(box):
+                    for v in range(box):
+                        if t <= ax + bx and u <= ay + by and v <= az + bz:
+                            entries.append(Ex[ax][bx][t] * Ey[ay][by][u]
+                                           * Ez[az][bz][v] * coef)
+                        else:
+                            entries.append(zero)
+            rows.append(jnp.stack(entries, axis=-1))   # [npA,npB,box^3]
+    E3 = jnp.stack(rows, axis=-2)                       # [npA,npB,nc2,box^3]
+    K = E3.shape[0] * E3.shape[1]
+    return E3.reshape(K, len(compsA) * len(compsB), box ** 3)
+
+
+@lru_cache(maxsize=None)
+def _gather_idx(lab: int, lcd: int) -> np.ndarray:
+    """IDX[(lab+1)^3, (lcd+1)^3] flat index into the (ltot+1)^3 R box."""
+    ltot = lab + lcd
+    b1, b2, bt = lab + 1, lcd + 1, ltot + 1
+    idx = np.zeros((b1 ** 3, b2 ** 3), dtype=np.int32)
+    for i1, (t, u, v) in enumerate(np.ndindex(b1, b1, b1)):
+        for i2, (tt, uu, vv) in enumerate(np.ndindex(b2, b2, b2)):
+            idx[i1, i2] = ((t + tt) * bt + (u + uu)) * bt + (v + vv)
+    return idx
+
+
+@lru_cache(maxsize=None)
+def _sign_vec(lcd: int) -> np.ndarray:
+    """(-1)^(t+u+v) over the ket Hermite box."""
+    b = lcd + 1
+    s = np.empty(b ** 3)
+    for i, (t, u, v) in enumerate(np.ndindex(b, b, b)):
+        s[i] = (-1.0) ** (t + u + v)
+    return s
+
+
+def _r_box(ltot: int, alpha, PQ):
+    """Dense Hermite-Coulomb box R[(ltot+1)^3] over leading batch dims.
+
+    alpha: [...]; PQ: [..., 3]. Returns [..., (ltot+1)^3] with invalid
+    (t+u+v > ltot) entries zero.
+    """
+    T = alpha * jnp.sum(PQ * PQ, axis=-1)
+    F = boys(T, ltot)
+    Rn = {}
+    neg2a = -2.0 * alpha
+    pw = jnp.ones_like(alpha)
+    for n in range(ltot + 1):
+        Rn[(n, 0, 0, 0)] = pw * F[n]
+        pw = pw * neg2a
+    x, y, z = PQ[..., 0], PQ[..., 1], PQ[..., 2]
+
+    def get(n, t, u, v):
+        if t < 0 or u < 0 or v < 0:
+            return 0.0
+        return Rn[(n, t, u, v)]
+
+    for total in range(1, ltot + 1):
+        for t in range(total + 1):
+            for u in range(total - t + 1):
+                v = total - t - u
+                for n in range(ltot - total + 1):
+                    if t > 0:
+                        Rn[(n, t, u, v)] = ((t - 1) * get(n + 1, t - 2, u, v)
+                                            + x * get(n + 1, t - 1, u, v))
+                    elif u > 0:
+                        Rn[(n, t, u, v)] = ((u - 1) * get(n + 1, t, u - 2, v)
+                                            + y * get(n + 1, t, u - 1, v))
+                    else:
+                        Rn[(n, t, u, v)] = ((v - 1) * get(n + 1, t, u, v - 2)
+                                            + z * get(n + 1, t, u, v - 1))
+    box = ltot + 1
+    zero = jnp.zeros_like(alpha)
+    entries = []
+    for t in range(box):
+        for u in range(box):
+            for v in range(box):
+                entries.append(Rn[(0, t, u, v)] if t + u + v <= ltot else zero)
+    return jnp.stack(entries, axis=-1)
+
+
+def eri_quartet_kernel(ls: Tuple[int, int, int, int],
+                       eA, cA, A, eB, cB, B, eC, cC, C, eD, cD, D,
+                       omega: Optional[float] = None):
+    """Contracted spherical ERI block [nsA,nsB,nsC,nsD] for one shell quartet.
+
+    e*: [np*] exponents (padded with 1s), c*: [np*] coefficients (padded 0).
+    """
+    la, lb, lc, ld = ls
+    lab, lcd = la + lb, lc + ld
+    ltot = lab + lcd
+
+    p = eA[:, None] + eB[None, :]
+    q = eC[:, None] + eD[None, :]
+    wab = cA[:, None] * cB[None, :]
+    wcd = cC[:, None] * cD[None, :]
+    P = (eA[:, None, None] * A + eB[None, :, None] * B) / p[..., None]
+    Q = (eC[:, None, None] * C + eD[None, :, None] * D) / q[..., None]
+
+    Eb = _hermite_3d(la, lb, eA, eB, A, B, wab)        # [Kab, nab, T1]
+    Ek = _hermite_3d(lc, ld, eC, eD, C, D, wcd)        # [Kcd, ncd, T2]
+    Ek = Ek * jnp.asarray(_sign_vec(lcd))
+
+    Kab = Eb.shape[0]
+    Kcd = Ek.shape[0]
+    pf = p.reshape(Kab)
+    qf = q.reshape(Kcd)
+    Pf = P.reshape(Kab, 3)
+    Qf = Q.reshape(Kcd, 3)
+
+    alpha = pf[:, None] * qf[None, :] / (pf[:, None] + qf[None, :])
+    PQ = Pf[:, None, :] - Qf[None, :, :]
+    pref = (2.0 * math.pi ** 2.5
+            / (pf[:, None] * qf[None, :]
+               * jnp.sqrt(pf[:, None] + qf[None, :])))
+
+    if omega is not None:
+        s = omega * omega / (alpha + omega * omega)
+        Rb = _r_box(ltot, s * alpha, PQ)
+        Rb = Rb * (pref * jnp.sqrt(s))[..., None]
+    else:
+        Rb = _r_box(ltot, alpha, PQ)
+        Rb = Rb * pref[..., None]
+
+    idx = jnp.asarray(_gather_idx(lab, lcd))           # [T1, T2]
+    Rbig = Rb[:, :, idx]                               # [Kab, Kcd, T1, T2]
+
+    # Contract: out[ab, cd] = sum_{Kab,Kcd,T1,T2} Eb*Rbig*Ek
+    tmp = jnp.einsum("kqxy,qcy->kxc", Rbig, Ek)        # [Kab, T1, ncd]
+    cart = jnp.einsum("kax,kxc->ac", Eb, tmp)          # [nab, ncd]
+    cart = cart.reshape(ncart(la), ncart(lb), ncart(lc), ncart(ld))
+
+    Ta = jnp.asarray(cart2sph(la))
+    Tb = jnp.asarray(cart2sph(lb))
+    Tc = jnp.asarray(cart2sph(lc))
+    Td = jnp.asarray(cart2sph(ld))
+    out = jnp.einsum("pa,qb,rc,sd,abcd->pqrs", Ta, Tb, Tc, Td, cart)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Pair/quartet bookkeeping (host side, numpy)
+# ----------------------------------------------------------------------------
+
+class PairClass:
+    """All shell pairs of one (la, lb) class, la <= lb; i <= j when la==lb."""
+
+    def __init__(self, basis: BasisSet, la: int, lb: int):
+        ga, gb = basis.groups[la], basis.groups[lb]
+        nA, nB = len(ga.shell_idx), len(gb.shell_idx)
+        ia, ib = np.mgrid[0:nA, 0:nB]
+        ia, ib = ia.ravel(), ib.ravel()
+        if la == lb:
+            keep = ia <= ib
+            ia, ib = ia[keep], ib[keep]
+        self.la, self.lb = la, lb
+        self.ia, self.ib = ia, ib
+        self.exps_a = ga.exps[ia]
+        self.coefs_a = ga.coefs[ia]
+        self.exps_b = gb.exps[ib]
+        self.coefs_b = gb.coefs[ib]
+        self.atom_a = ga.atom_idx[ia]
+        self.atom_b = gb.atom_idx[ib]
+        self.ao_a = ga.ao_start[ia]
+        self.ao_b = gb.ao_start[ib]
+        self.n = len(ia)
+
+
+def pair_classes(basis: BasisSet) -> List[PairClass]:
+    ls = sorted(basis.groups)
+    out = []
+    for i, la in enumerate(ls):
+        for lb in ls[i:]:
+            pc = PairClass(basis, la, lb)
+            if pc.n:
+                out.append(pc)
+    return out
+
+
+def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None,
+                     chunk: int = 4096):
+    """Full (ij|kl) tensor [nao,nao,nao,nao] (small systems / validation)."""
+    nao = basis.nao
+    eri = jnp.zeros((nao, nao, nao, nao))
+    pcs = pair_classes(basis)
+
+    for i1, p1 in enumerate(pcs):
+        for p2 in pcs[i1:]:
+            same = p1 is p2
+            q1, q2 = np.mgrid[0:p1.n, 0:p2.n]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if same:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+
+            ls = (p1.la, p1.lb, p2.la, p2.lb)
+
+            def kern(eA, cA, A, eB, cB, B, eC, cC, C, eD, cD, D):
+                return eri_quartet_kernel(ls, eA, cA, A, eB, cB, B,
+                                          eC, cC, C, eD, cD, D, omega=omega)
+
+            vkern = jax.vmap(kern)
+            for s in range(0, len(q1), chunk):
+                sl1 = q1[s:s + chunk]
+                sl2 = q2[s:s + chunk]
+                blocks = vkern(
+                    jnp.asarray(p1.exps_a[sl1]), jnp.asarray(p1.coefs_a[sl1]),
+                    coords[p1.atom_a[sl1]],
+                    jnp.asarray(p1.exps_b[sl1]), jnp.asarray(p1.coefs_b[sl1]),
+                    coords[p1.atom_b[sl1]],
+                    jnp.asarray(p2.exps_a[sl2]), jnp.asarray(p2.coefs_a[sl2]),
+                    coords[p2.atom_a[sl2]],
+                    jnp.asarray(p2.exps_b[sl2]), jnp.asarray(p2.coefs_b[sl2]),
+                    coords[p2.atom_b[sl2]],
+                )
+                # Index arrays, each broadcast with its own value axis so that
+                # eri[Ia[v], Ib[v], Ic[v], Id[v]] = blocks[v] for every
+                # symmetry image without transposing the value tensor.
+                shp = {"a": nsph(p1.la), "b": nsph(p1.lb),
+                       "c": nsph(p2.la), "d": nsph(p2.lb)}
+                base = {"a": p1.ao_a[sl1][:, None] + np.arange(shp["a"]),
+                        "b": p1.ao_b[sl1][:, None] + np.arange(shp["b"]),
+                        "c": p2.ao_a[sl2][:, None] + np.arange(shp["c"]),
+                        "d": p2.ao_b[sl2][:, None] + np.arange(shp["d"])}
+                vax = {"a": 1, "b": 2, "c": 3, "d": 4}
+
+                def ix(name):
+                    arr = base[name]
+                    new = [arr.shape[0], 1, 1, 1, 1]
+                    new[vax[name]] = arr.shape[1]
+                    return arr.reshape(new)
+
+                for order in [("a", "b", "c", "d"), ("b", "a", "c", "d"),
+                              ("a", "b", "d", "c"), ("b", "a", "d", "c"),
+                              ("c", "d", "a", "b"), ("d", "c", "a", "b"),
+                              ("c", "d", "b", "a"), ("d", "c", "b", "a")]:
+                    eri = eri.at[ix(order[0]), ix(order[1]),
+                                 ix(order[2]), ix(order[3])].set(blocks)
+    return eri

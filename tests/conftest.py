@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The deployment image registers an experimental 'axon' TPU backend through
+sitecustomize (which overrides JAX_PLATFORMS), so we force the CPU platform
+via jax.config — the supported way to test pjit/shard_map logic without a
+TPU pod (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
