@@ -13,9 +13,23 @@ Quantum chemistry needs float64 accumulation (|dE| <= 1e-8 Ha targets), so we
 enable x64 at import. ML paths explicitly request f32/bf16 where appropriate.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the integral kernels are compiled per
+# (angular-momentum class, padded primitive width, chunk size) — all static
+# across molecules/geometries — so warm runs skip XLA compilation entirely.
+_cache_dir = _os.path.expanduser(
+    _os.environ.get("CCTPU_JAX_CACHE", "~/.cache/cctpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 __version__ = "0.1.0"
 

@@ -61,22 +61,77 @@ def e_table_1d(li: int, lj: int, a, b, ab) -> list:
     return E
 
 
-def r_tensor(lmax: int, p, PC) -> dict:
-    """Hermite Coulomb integrals R_{tuv}(p, PC) for t+u+v <= lmax.
+def e3_components(la: int, lb: int, a, b, A, B):
+    """Vectorized Hermite expansion: per-direction selected tables.
 
-    p: exponent (shape S); PC: [.., 3] displacement P - C.
-    Returns dict {(t,u,v): array of shape S}.
+    a: [npA,1], b: [1,npB]; A, B: [3].
+    Returns E3 of shape [npA, npB, ncartA*ncartB, (lab+1)^3] assembled with a
+    small number of ops (stack + gather + outer product) so traces stay tiny
+    even for high angular momentum — this is what keeps XLA compile times
+    sane for d/f classes.
     """
+    import numpy as np
+
+    lab = la + lb
+    box = lab + 1
+    zero = jnp.zeros(jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b)))
+
+    from cctpu.core.basis import cart_components
+    sel = []
+    comps_a = cart_components(la)
+    comps_b = cart_components(lb)
+
+    for d in range(3):
+        tab = e_table_1d(la, lb, a, b, A[d] - B[d])
+        flat = []
+        for i in range(la + 1):
+            for j in range(lb + 1):
+                for t in range(box):
+                    v = tab[i][j][t] if t <= i + j else None
+                    flat.append(zero if v is None else v + zero)
+        arr = jnp.stack(flat).reshape(la + 1, lb + 1, box,
+                                      *zero.shape)      # [la+1,lb+1,box,npA,npB]
+        ia = np.array([c[d] for c in comps_a])
+        ib = np.array([c[d] for c in comps_b])
+        IA = np.repeat(ia, len(comps_b))
+        IB = np.tile(ib, len(comps_a))
+        sel.append(arr[IA, IB])                          # [ncomp, box, npA, npB]
+
+    ex, ey, ez = sel
+    E3 = (ex[:, :, None, None] * ey[:, None, :, None]
+          * ez[:, None, None, :])                        # [ncomp,box,box,box,npA,npB]
+    ncomp = E3.shape[0]
+    E3 = E3.reshape(ncomp, box ** 3, *zero.shape)
+    return jnp.moveaxis(E3, (-2, -1), (0, 1))            # [npA,npB,ncomp,box^3]
+
+
+def r_box(ltot: int, alpha, PQ):
+    """Dense Hermite-Coulomb box R[..., (ltot+1)^3] (zeros where t+u+v>ltot).
+
+    alpha: [...]; PQ: [..., 3].
+    """
+    Rn = _r_recursion(ltot, alpha, PQ)
+    box = ltot + 1
+    zero = jnp.zeros_like(Rn[(0, 0, 0, 0)])
+    entries = []
+    for t in range(box):
+        for u in range(box):
+            for v in range(box):
+                entries.append((Rn[(0, t, u, v)] + zero)
+                               if t + u + v <= ltot else zero)
+    return jnp.stack(entries, axis=-1)
+
+
+def _r_recursion(lmax: int, p, PC) -> dict:
+    """Shared Hermite-Coulomb recursion: {(n,t,u,v): array} for n=0 slice use."""
     T = p * jnp.sum(PC * PC, axis=-1)
-    F = boys(T, lmax)                      # [lmax+1, ...]
-    # R^n_{000} = (-2p)^n F_n
+    F = boys(T, lmax)
     Rn = {}
     neg2p = -2.0 * p
     pw = jnp.ones_like(p)
     for n in range(lmax + 1):
         Rn[(n, 0, 0, 0)] = pw * F[n]
         pw = pw * neg2p
-
     x, y, z = PC[..., 0], PC[..., 1], PC[..., 2]
 
     def get(n, t, u, v):
@@ -84,8 +139,6 @@ def r_tensor(lmax: int, p, PC) -> dict:
             return 0.0
         return Rn[(n, t, u, v)]
 
-    # Build increasing total order; standard recursions:
-    # R^n_{t+1,u,v} = t R^{n+1}_{t-1,u,v} + X_PC R^{n+1}_{t,u,v}
     for total in range(1, lmax + 1):
         for t in range(total + 1):
             for u in range(total - t + 1):
@@ -100,6 +153,12 @@ def r_tensor(lmax: int, p, PC) -> dict:
                     else:
                         Rn[(n, t, u, v)] = ((v - 1) * get(n + 1, t, u, v - 2)
                                             + z * get(n + 1, t, u, v - 1))
+    return Rn
+
+
+def r_tensor(lmax: int, p, PC) -> dict:
+    """Hermite Coulomb integrals {(t,u,v): R_{tuv}(p, PC)} for t+u+v <= lmax."""
+    Rn = _r_recursion(lmax, p, PC)
     return {(t, u, v): Rn[(0, t, u, v)]
             for t in range(lmax + 1)
             for u in range(lmax + 1 - t)

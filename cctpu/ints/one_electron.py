@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cctpu.core.basis import BasisSet, cart2sph, cart_components, nsph
-from cctpu.ints.md import e_table_1d, r_tensor
+from cctpu.core.basis import BasisSet, cart2sph, cart_components, ncart, nsph
+from cctpu.ints.md import e3_components, e_table_1d, r_box
 
 
 def _pair_e_tables(la: int, lb: int, ea, eb, A, B):
@@ -88,31 +88,14 @@ def _nuclear_block(la: int, lb: int, ea, ca, A, eb, cb, B,
     coef = ca[:, None] * cb[None, :]
     P = (a[..., None] * A + b[..., None] * B) / p[..., None]  # [npA,npB,3]
 
-    Ex, Ey, Ez = _pair_e_tables(la, lb, a, b, A, B)
-    E = (Ex, Ey, Ez)
-
     ltot = la + lb
-    # PC: [npA, npB, natm, 3]
+    E3 = e3_components(la, lb, a, b, A, B)        # [npA,npB,nc2,box^3]
     PC = P[:, :, None, :] - atom_coords[None, None, :, :]
-    R = r_tensor(ltot, p[..., None], PC)   # each entry [npA, npB, natm]
+    R = r_box(ltot, p[..., None], PC)             # [npA,npB,natm,box^3]
 
-    pref = (2.0 * math.pi / p) * coef      # [npA, npB]
-    compsA = cart_components(la)
-    compsB = cart_components(lb)
-    out = []
-    for (ax, ay, az) in compsA:
-        row = []
-        for (bx, by, bz) in compsB:
-            acc = 0.0
-            for t in range(ax + bx + 1):
-                for u in range(ay + by + 1):
-                    for v in range(az + bz + 1):
-                        acc = acc + (Ex[ax][bx][t] * Ey[ay][by][u]
-                                     * Ez[az][bz][v])[..., None] * R[(t, u, v)]
-            # acc: [npA, npB, natm]; contract charges and primitives
-            row.append(-jnp.sum(pref[..., None] * acc * atom_charges))
-        out.append(jnp.stack(row))
-    return jnp.stack(out)
+    pref = (2.0 * math.pi / p) * coef             # [npA, npB]
+    V = -jnp.einsum("pqcx,pq,pqnx,n->c", E3, pref, R, atom_charges)
+    return V.reshape(ncart(la), ncart(lb))
 
 
 def _dipole_block(la: int, lb: int, ea, ca, A, eb, cb, B, origin):
@@ -167,10 +150,10 @@ def build_int1e(basis: BasisSet, coords, charges,
     Returns dict with 'S', 'T', 'V' (+ 'dipole' [3, nao, nao]).
     """
     nao = basis.nao
-    S = jnp.zeros((nao, nao))
-    T = jnp.zeros((nao, nao))
-    V = jnp.zeros((nao, nao))
-    D = jnp.zeros((3, nao, nao)) if with_dipole else None
+    S = jnp.zeros((nao + 1, nao + 1))
+    T = jnp.zeros((nao + 1, nao + 1))
+    V = jnp.zeros((nao + 1, nao + 1))
+    D = jnp.zeros((3, nao + 1, nao + 1)) if with_dipole else None
     if dipole_origin is None:
         dipole_origin = jnp.zeros(3)
 
@@ -188,6 +171,14 @@ def build_int1e(basis: BasisSet, coords, charges,
             if la == lb:
                 keep = ia <= ib
                 ia, ib = ia[keep], ib[keep]
+
+            # pad the pair batch to a fixed multiple so compiled shapes are
+            # geometry-independent (padding scatters into dummy row `nao`)
+            npad = (-len(ia)) % 64
+            pad = np.concatenate([np.zeros(len(ia), bool),
+                                  np.ones(npad, bool)])
+            ia = np.concatenate([ia, np.zeros(npad, np.int64)])
+            ib = np.concatenate([ib, np.zeros(npad, np.int64)])
 
             eA = jnp.asarray(ga.exps[ia])
             cA = jnp.asarray(ga.coefs[ia])
@@ -210,6 +201,8 @@ def build_int1e(basis: BasisSet, coords, charges,
 
             rows = ga.ao_start[ia][:, None] + np.arange(nsph(la))
             cols = gb.ao_start[ib][:, None] + np.arange(nsph(lb))
+            rows = np.where(pad[:, None], nao, rows)
+            cols = np.where(pad[:, None], nao, cols)
             r_idx = rows[:, :, None]
             c_idx = cols[:, None, :]
             S = S.at[r_idx, c_idx].set(sblk)
@@ -232,7 +225,7 @@ def build_int1e(basis: BasisSet, coords, charges,
                 D = D.at[:, c_idx.swapaxes(1, 2), r_idx.swapaxes(1, 2)].set(
                     jnp.moveaxis(jnp.swapaxes(dblk, 2, 3), 1, 0))
 
-    out = {"S": S, "T": T, "V": V}
+    out = {"S": S[:nao, :nao], "T": T[:nao, :nao], "V": V[:nao, :nao]}
     if with_dipole:
-        out["dipole"] = D
+        out["dipole"] = D[:, :nao, :nao]
     return out

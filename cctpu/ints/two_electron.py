@@ -29,7 +29,7 @@ import numpy as np
 
 from cctpu.core.basis import BasisSet, cart2sph, cart_components, ncart, nsph
 from cctpu.ints.boys import boys
-from cctpu.ints.md import e_table_1d
+from cctpu.ints.md import e3_components, r_box as _r_box
 
 
 def _hermite_3d(la: int, lb: int, ea, eb, A, B, coef):
@@ -40,30 +40,10 @@ def _hermite_3d(la: int, lb: int, ea, eb, A, B, coef):
     """
     a = ea[:, None]
     b = eb[None, :]
-    lab = la + lb
-    Ex = e_table_1d(la, lb, a, b, A[0] - B[0])
-    Ey = e_table_1d(la, lb, a, b, A[1] - B[1])
-    Ez = e_table_1d(la, lb, a, b, A[2] - B[2])
-    compsA = cart_components(la)
-    compsB = cart_components(lb)
-    box = lab + 1
-    zero = jnp.zeros_like(a * b)
-    rows = []
-    for (ax, ay, az) in compsA:
-        for (bx, by, bz) in compsB:
-            entries = []
-            for t in range(box):
-                for u in range(box):
-                    for v in range(box):
-                        if t <= ax + bx and u <= ay + by and v <= az + bz:
-                            entries.append(Ex[ax][bx][t] * Ey[ay][by][u]
-                                           * Ez[az][bz][v] * coef)
-                        else:
-                            entries.append(zero)
-            rows.append(jnp.stack(entries, axis=-1))   # [npA,npB,box^3]
-    E3 = jnp.stack(rows, axis=-2)                       # [npA,npB,nc2,box^3]
+    E3 = e3_components(la, lb, a, b, A, B)          # [npA,npB,nc2,box^3]
+    E3 = E3 * coef[:, :, None, None]
     K = E3.shape[0] * E3.shape[1]
-    return E3.reshape(K, len(compsA) * len(compsB), box ** 3)
+    return E3.reshape(K, E3.shape[2], E3.shape[3])
 
 
 @lru_cache(maxsize=None)
@@ -88,49 +68,6 @@ def _sign_vec(lcd: int) -> np.ndarray:
     return s
 
 
-def _r_box(ltot: int, alpha, PQ):
-    """Dense Hermite-Coulomb box R[(ltot+1)^3] over leading batch dims.
-
-    alpha: [...]; PQ: [..., 3]. Returns [..., (ltot+1)^3] with invalid
-    (t+u+v > ltot) entries zero.
-    """
-    T = alpha * jnp.sum(PQ * PQ, axis=-1)
-    F = boys(T, ltot)
-    Rn = {}
-    neg2a = -2.0 * alpha
-    pw = jnp.ones_like(alpha)
-    for n in range(ltot + 1):
-        Rn[(n, 0, 0, 0)] = pw * F[n]
-        pw = pw * neg2a
-    x, y, z = PQ[..., 0], PQ[..., 1], PQ[..., 2]
-
-    def get(n, t, u, v):
-        if t < 0 or u < 0 or v < 0:
-            return 0.0
-        return Rn[(n, t, u, v)]
-
-    for total in range(1, ltot + 1):
-        for t in range(total + 1):
-            for u in range(total - t + 1):
-                v = total - t - u
-                for n in range(ltot - total + 1):
-                    if t > 0:
-                        Rn[(n, t, u, v)] = ((t - 1) * get(n + 1, t - 2, u, v)
-                                            + x * get(n + 1, t - 1, u, v))
-                    elif u > 0:
-                        Rn[(n, t, u, v)] = ((u - 1) * get(n + 1, t, u - 2, v)
-                                            + y * get(n + 1, t, u - 1, v))
-                    else:
-                        Rn[(n, t, u, v)] = ((v - 1) * get(n + 1, t, u, v - 2)
-                                            + z * get(n + 1, t, u, v - 1))
-    box = ltot + 1
-    zero = jnp.zeros_like(alpha)
-    entries = []
-    for t in range(box):
-        for u in range(box):
-            for v in range(box):
-                entries.append(Rn[(0, t, u, v)] if t + u + v <= ltot else zero)
-    return jnp.stack(entries, axis=-1)
 
 
 def eri_quartet_kernel(ls: Tuple[int, int, int, int],
@@ -192,6 +129,15 @@ def eri_quartet_kernel(ls: Tuple[int, int, int, int],
     return out
 
 
+@lru_cache(maxsize=None)
+def _quartet_vmapped(ls: Tuple[int, int, int, int], omega: Optional[float]):
+    """Cached jitted+vmapped quartet kernel — one compile per class/shape."""
+    def kern(eA, cA, A, eB, cB, B, eC, cC, C, eD, cD, D):
+        return eri_quartet_kernel(ls, eA, cA, A, eB, cB, B,
+                                  eC, cC, C, eD, cD, D, omega=omega)
+    return jax.jit(jax.vmap(kern))
+
+
 # ----------------------------------------------------------------------------
 # Pair/quartet bookkeeping (host side, numpy)
 # ----------------------------------------------------------------------------
@@ -231,11 +177,32 @@ def pair_classes(basis: BasisSet) -> List[PairClass]:
     return out
 
 
-def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None,
-                     chunk: int = 4096):
-    """Full (ij|kl) tensor [nao,nao,nao,nao] (small systems / validation)."""
+def _class_chunk(ls, npA, npB, npC, npD, budget: int = 4_000_000) -> int:
+    """Fixed per-class chunk size bounding the dominant intermediate
+    (Rbig: Kab*Kcd*T1*T2 doubles per quartet)."""
+    T1 = (ls[0] + ls[1] + 1) ** 3
+    T2 = (ls[2] + ls[3] + 1) ** 3
+    cost = max(npA * npB * npC * npD * max(T1, T2),
+               npA * npB * npC * npD * 16,
+               (T1 * T2))
+    c = max(16, min(2048, budget // max(cost, 1)))
+    # round to power of two for shape stability
+    return 1 << (c.bit_length() - 1)
+
+
+def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None):
+    """Full (ij|kl) tensor [nao,nao,nao,nao] as a host numpy array.
+
+    Validation / small-system path: the quartet kernels run jitted on device
+    (cached per class/shape thanks to fixed-size chunk padding), but the
+    8-fold-symmetry assembly happens in host numpy — XLA scatter compiles
+    pathologically for this pattern and the full tensor is only used for
+    reference checks, in-core SCF on small molecules, and MO transforms.
+    Gradient-bearing paths use the density-fitted builders instead.
+    """
+    coords = jnp.asarray(coords)
     nao = basis.nao
-    eri = jnp.zeros((nao, nao, nao, nao))
+    eri = np.zeros((nao, nao, nao, nao))
     pcs = pair_classes(basis)
 
     for i1, p1 in enumerate(pcs):
@@ -248,16 +215,17 @@ def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None,
                 q1, q2 = q1[keep], q2[keep]
 
             ls = (p1.la, p1.lb, p2.la, p2.lb)
-
-            def kern(eA, cA, A, eB, cB, B, eC, cC, C, eD, cD, D):
-                return eri_quartet_kernel(ls, eA, cA, A, eB, cB, B,
-                                          eC, cC, C, eD, cD, D, omega=omega)
-
-            vkern = jax.vmap(kern)
+            vkern = _quartet_vmapped(ls, omega)
+            chunk = _class_chunk(ls, p1.exps_a.shape[1], p1.exps_b.shape[1],
+                                 p2.exps_a.shape[1], p2.exps_b.shape[1])
+            nreal = len(q1)
+            npad = (-nreal) % chunk
+            q1 = np.concatenate([q1, np.zeros(npad, np.int64)])
+            q2 = np.concatenate([q2, np.zeros(npad, np.int64)])
             for s in range(0, len(q1), chunk):
                 sl1 = q1[s:s + chunk]
                 sl2 = q2[s:s + chunk]
-                blocks = vkern(
+                blocks = np.asarray(vkern(
                     jnp.asarray(p1.exps_a[sl1]), jnp.asarray(p1.coefs_a[sl1]),
                     coords[p1.atom_a[sl1]],
                     jnp.asarray(p1.exps_b[sl1]), jnp.asarray(p1.coefs_b[sl1]),
@@ -266,28 +234,29 @@ def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None,
                     coords[p2.atom_a[sl2]],
                     jnp.asarray(p2.exps_b[sl2]), jnp.asarray(p2.coefs_b[sl2]),
                     coords[p2.atom_b[sl2]],
-                )
-                # Index arrays, each broadcast with its own value axis so that
-                # eri[Ia[v], Ib[v], Ic[v], Id[v]] = blocks[v] for every
-                # symmetry image without transposing the value tensor.
-                shp = {"a": nsph(p1.la), "b": nsph(p1.lb),
-                       "c": nsph(p2.la), "d": nsph(p2.lb)}
-                base = {"a": p1.ao_a[sl1][:, None] + np.arange(shp["a"]),
-                        "b": p1.ao_b[sl1][:, None] + np.arange(shp["b"]),
-                        "c": p2.ao_a[sl2][:, None] + np.arange(shp["c"]),
-                        "d": p2.ao_b[sl2][:, None] + np.arange(shp["d"])}
-                vax = {"a": 1, "b": 2, "c": 3, "d": 4}
-
-                def ix(name):
-                    arr = base[name]
-                    new = [arr.shape[0], 1, 1, 1, 1]
-                    new[vax[name]] = arr.shape[1]
-                    return arr.reshape(new)
-
-                for order in [("a", "b", "c", "d"), ("b", "a", "c", "d"),
-                              ("a", "b", "d", "c"), ("b", "a", "d", "c"),
-                              ("c", "d", "a", "b"), ("d", "c", "a", "b"),
-                              ("c", "d", "b", "a"), ("d", "c", "b", "a")]:
-                    eri = eri.at[ix(order[0]), ix(order[1]),
-                                 ix(order[2]), ix(order[3])].set(blocks)
+                ))
+                nq = min(chunk, nreal - s)
+                if nq <= 0:
+                    break
+                sa, sb = nsph(p1.la), nsph(p1.lb)
+                sc, sd = nsph(p2.la), nsph(p2.lb)
+                for t in range(nq):
+                    a0, b0 = p1.ao_a[sl1[t]], p1.ao_b[sl1[t]]
+                    c0, d0 = p2.ao_a[sl2[t]], p2.ao_b[sl2[t]]
+                    blk = blocks[t]
+                    eri[a0:a0+sa, b0:b0+sb, c0:c0+sc, d0:d0+sd] = blk
+                    eri[b0:b0+sb, a0:a0+sa, c0:c0+sc, d0:d0+sd] = \
+                        blk.transpose(1, 0, 2, 3)
+                    eri[a0:a0+sa, b0:b0+sb, d0:d0+sd, c0:c0+sc] = \
+                        blk.transpose(0, 1, 3, 2)
+                    eri[b0:b0+sb, a0:a0+sa, d0:d0+sd, c0:c0+sc] = \
+                        blk.transpose(1, 0, 3, 2)
+                    eri[c0:c0+sc, d0:d0+sd, a0:a0+sa, b0:b0+sb] = \
+                        blk.transpose(2, 3, 0, 1)
+                    eri[d0:d0+sd, c0:c0+sc, a0:a0+sa, b0:b0+sb] = \
+                        blk.transpose(3, 2, 0, 1)
+                    eri[c0:c0+sc, d0:d0+sd, b0:b0+sb, a0:a0+sa] = \
+                        blk.transpose(2, 3, 1, 0)
+                    eri[d0:d0+sd, c0:c0+sc, b0:b0+sb, a0:a0+sa] = \
+                        blk.transpose(3, 2, 1, 0)
     return eri

@@ -1,0 +1,62 @@
+"""Pulay DIIS (CDIIS) with fixed-size, jit-friendly buffers.
+
+Replaces PySCF's lib.diis used by every SCF driver in the reference stack
+(SURVEY.md §2.1/§3.1 hot loop). The history lives in static-shape ring
+buffers; empty slots are masked out of the B-matrix solve, so the update is
+a single traced computation (no dynamic shapes), as XLA wants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class DIISState(NamedTuple):
+    focks: jnp.ndarray   # [m, ...] flattened Fock history
+    errs: jnp.ndarray    # [m, ...] flattened error-vector history
+    count: jnp.ndarray   # scalar int — how many slots filled (saturates at m)
+    head: jnp.ndarray    # scalar int — next write position
+
+
+def diis_init(space: int, size: int) -> DIISState:
+    return DIISState(
+        focks=jnp.zeros((space, size)),
+        errs=jnp.zeros((space, size)),
+        count=jnp.zeros((), jnp.int32),
+        head=jnp.zeros((), jnp.int32),
+    )
+
+
+def diis_update(state: DIISState, fock: jnp.ndarray,
+                err: jnp.ndarray) -> Tuple[DIISState, jnp.ndarray]:
+    """Push (fock, err), return (new_state, extrapolated fock)."""
+    m = state.focks.shape[0]
+    shape = fock.shape
+    f = fock.reshape(-1)
+    e = err.reshape(-1)
+    focks = state.focks.at[state.head].set(f)
+    errs = state.errs.at[state.head].set(e)
+    count = jnp.minimum(state.count + 1, m)
+    head = (state.head + 1) % m
+
+    B = errs @ errs.T                                     # [m, m]
+    active = (jnp.arange(m) < count)
+    # Masked augmented system:
+    #   [B  -1][c]   [0]
+    #   [-1  0][l] = [-1]
+    big = jnp.zeros((m + 1, m + 1))
+    mask2 = active[:, None] & active[None, :]
+    big = big.at[:m, :m].set(jnp.where(mask2, B, 0.0))
+    # Identity rows for inactive slots keep the system nonsingular.
+    big = big.at[:m, :m].add(jnp.diag(jnp.where(active, 0.0, 1.0)))
+    big = big.at[:m, m].set(jnp.where(active, -1.0, 0.0))
+    big = big.at[m, :m].set(jnp.where(active, -1.0, 0.0))
+    rhs = jnp.zeros(m + 1).at[m].set(-1.0)
+
+    # Least-squares solve for robustness against near-singular B.
+    sol = jnp.linalg.lstsq(big, rhs)[0]
+    c = jnp.where(active, sol[:m], 0.0)
+    f_new = c @ focks
+    return DIISState(focks, errs, count, head), f_new.reshape(shape)

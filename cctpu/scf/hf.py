@@ -1,0 +1,355 @@
+"""Hartree–Fock: RHF / UHF / ROHF with DIIS, level shift, and damping.
+
+The TPU-native SCF driver replacing PySCF's scf.hf + gpu4pyscf's CUDA SCF
+(reference call stack SURVEY.md §3.1): the per-cycle work — J/K build, Fock
+assembly, DIIS extrapolation, generalized eigensolve — is one jitted function
+over static shapes; the python-level loop only checks convergence scalars.
+Supports the reference's ``kernel(dm0=dm)`` warm-start idiom
+(templates/calculate_energy.py:158-178) natively.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cctpu.core.molecule import Molecule
+from cctpu.ints.one_electron import build_int1e
+from cctpu.ints.two_electron import build_eri_incore
+from cctpu.scf.diis import diis_init, diis_update
+
+
+# ----------------------------------------------------------------------------
+# J/K builders
+# ----------------------------------------------------------------------------
+
+class IncoreJK:
+    """J/K from the full in-core ERI tensor (validation / small systems)."""
+
+    def __init__(self, mol: Molecule, coords=None):
+        c = jnp.asarray(mol.coords if coords is None else coords)
+        self.eri = jnp.asarray(build_eri_incore(mol.basis_set, c))
+
+    def __call__(self, dm):
+        J = jnp.einsum("ijkl,...kl->...ij", self.eri, dm)
+        K = jnp.einsum("ikjl,...kl->...ij", self.eri, dm)
+        return J, K
+
+
+# ----------------------------------------------------------------------------
+# Occupation rules
+# ----------------------------------------------------------------------------
+
+def occ_rhf(mo_energy, nelec: int):
+    nocc = nelec // 2
+    return (jnp.arange(mo_energy.shape[-1]) < nocc) * 2.0
+
+
+def occ_uhf(mo_energy, nalpha: int, nbeta: int):
+    n = mo_energy.shape[-1]
+    occ_a = (jnp.arange(n) < nalpha) * 1.0
+    occ_b = (jnp.arange(n) < nbeta) * 1.0
+    return jnp.stack([occ_a, occ_b])
+
+
+# ----------------------------------------------------------------------------
+# Core SCF machinery (functional, fully traced per cycle)
+# ----------------------------------------------------------------------------
+
+def _orthogonalizer(S):
+    s, U = jnp.linalg.eigh(S)
+    keep = s > 1e-10
+    s_inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, s, 1.0)), 0.0)
+    return U * s_inv_sqrt[None, :]
+
+
+def _fock_eig(F, X):
+    Fp = X.T @ F @ X
+    e, Cp = jnp.linalg.eigh(Fp)
+    return e, X @ Cp
+
+
+@dataclasses.dataclass
+class SCFOptions:
+    conv_tol: float = 1e-10
+    conv_tol_grad: Optional[float] = None
+    max_cycle: int = 100
+    diis_space: int = 8
+    diis_start: int = 1
+    level_shift: float = 0.0
+    damp: float = 0.0
+    verbose: int = 0
+
+
+class SCFBase:
+    """Shared driver. Subclasses define spin structure + veff."""
+
+    restricted = True
+
+    def __init__(self, mol: Molecule, **opts):
+        self.mol = mol.build() if mol._basis_set is None else mol
+        self.opts = SCFOptions(**{k: v for k, v in opts.items()
+                                  if hasattr(SCFOptions, k)})
+        # PySCF-compatible attribute spellings used by the reference
+        self.conv_tol = self.opts.conv_tol
+        self.max_cycle = self.opts.max_cycle
+        self.level_shift = self.opts.level_shift
+        self._jk = None
+        self._ints = None
+        self.converged = False
+        self.e_tot = None
+        self.mo_coeff = None
+        self.mo_energy = None
+        self.mo_occ = None
+        self.dm = None
+        self.coords = jnp.asarray(self.mol.coords)
+
+    # -- integral setup ------------------------------------------------------
+    def build_ints(self):
+        if self._ints is None:
+            basis = self.mol.basis_set
+            charges = jnp.asarray(self.mol.charges)
+            self._ints = jax.jit(
+                lambda c: build_int1e(basis, c, charges))(self.coords)
+        return self._ints
+
+    def get_jk_builder(self):
+        if self._jk is None:
+            self._jk = IncoreJK(self.mol, self.coords)
+        return self._jk
+
+    # -- model-specific pieces (overridden by RKS/UKS) ------------------------
+    def get_veff(self, dm):
+        """Effective 2e potential + its energy. HF: J - 0.5K (restricted)."""
+        raise NotImplementedError
+
+    def init_guess_dm(self):
+        """Core-Hamiltonian guess (generalized eigensolve of hcore)."""
+        ints = self.build_ints()
+        H = ints["T"] + ints["V"]
+        X = _orthogonalizer(ints["S"])
+        e, C = _fock_eig(H, X)
+        return self._dm_from_mo(e, C)
+
+    def _dm_from_mo(self, e, C):
+        raise NotImplementedError
+
+    def energy_elec(self, dm, H, veff_e, ecoul):
+        raise NotImplementedError
+
+    # -- main loop -------------------------------------------------------------
+    def kernel(self, dm0=None) -> float:
+        o = self.opts
+        ints = self.build_ints()
+        S = ints["S"]
+        H = ints["T"] + ints["V"]
+        X = _orthogonalizer(S)
+        self.get_jk_builder()
+
+        dm = jnp.asarray(dm0) if dm0 is not None else self.init_guess_dm()
+        e_nuc = float(self.mol.energy_nuc())
+        conv_tol_grad = o.conv_tol_grad or max(np.sqrt(o.conv_tol), 1e-7)
+
+        diis = diis_init(o.diis_space, self._diis_size(dm))
+
+        step = jax.jit(self._make_step(H, S, X))
+
+        e_last = 0.0
+        dm_last = dm
+        t0 = time.time()
+        for cycle in range(o.max_cycle):
+            dm_in = dm
+            if o.damp > 0 and cycle > 0:
+                dm_in = (1 - o.damp) * dm + o.damp * dm_last
+            use_diis = cycle >= o.diis_start
+            diis, dm_new, e_elec, err_norm, mo_e, mo_c = step(
+                diis, dm_in, jnp.asarray(use_diis))
+            e_tot = float(e_elec) + e_nuc
+            de = e_tot - e_last
+            if o.verbose >= 2:
+                print(f"cycle {cycle:3d}  E = {e_tot:.12f}  "
+                      f"dE = {de: .3e}  |g| = {float(err_norm):.3e}")
+            dm_last = dm
+            dm = dm_new
+            if (abs(de) < o.conv_tol and float(err_norm) < conv_tol_grad
+                    and cycle > 0):
+                self.converged = True
+                break
+            e_last = e_tot
+
+        self.e_tot = e_tot
+        self.mo_energy = mo_e
+        self.mo_coeff = mo_c
+        self.mo_occ = self._occ(mo_e)
+        self.dm = dm
+        if self.opts.verbose >= 1:
+            tag = "converged" if self.converged else "NOT CONVERGED"
+            print(f"SCF {tag}: E = {e_tot:.12f} Ha "
+                  f"({cycle + 1} cycles, {time.time() - t0:.2f}s)")
+        return self.e_tot
+
+    def make_rdm1(self):
+        return self.dm
+
+    def _diis_size(self, dm) -> int:
+        return int(np.prod(dm.shape))
+
+    # step factory defined by subclasses via _fock/_energy hooks
+    def _make_step(self, H, S, X):
+        raise NotImplementedError
+
+
+class RHF(SCFBase):
+    restricted = True
+
+    def _occ(self, mo_e):
+        return occ_rhf(mo_e, self.mol.nelectron)
+
+    def _dm_from_mo(self, e, C):
+        occ = occ_rhf(e, self.mol.nelectron)
+        return (C * occ[None, :]) @ C.T
+
+    def get_veff(self, dm):
+        J, K = self._jk(dm)
+        veff = J - 0.5 * K
+        ecoul = 0.5 * jnp.einsum("ij,ij->", dm, J)
+        exx = -0.25 * jnp.einsum("ij,ij->", dm, K)
+        return veff, ecoul + exx
+
+    def _make_step(self, H, S, X):
+        nelec = self.mol.nelectron
+        ls = self.opts.level_shift
+
+        def step(diis, dm, use_diis):
+            veff, e2 = self.get_veff(dm)
+            F = H + veff
+            e_elec = jnp.einsum("ij,ij->", dm, H) + e2
+            # DIIS error in AO: S D F - F D S (orthonormalized)
+            sdf = S @ dm @ F
+            err = X.T @ (sdf - sdf.T) @ X
+            err_norm = jnp.linalg.norm(err)
+            diis, F_x = diis_update(diis, F, err)
+            F_use = jnp.where(use_diis, F_x, F)
+            if ls:
+                F_use = F_use + ls * (S - S @ (dm * 0.5) @ S)
+            mo_e, mo_c = _fock_eig(F_use, X)
+            occ = occ_rhf(mo_e, nelec)
+            dm_new = (mo_c * occ[None, :]) @ mo_c.T
+            return diis, dm_new, e_elec, err_norm, mo_e, mo_c
+
+        return step
+
+
+class UHF(SCFBase):
+    restricted = False
+
+    def _occ(self, mo_e):
+        return occ_uhf(mo_e, self.mol.nalpha, self.mol.nbeta)
+
+    def _dm_from_mo(self, e, C):
+        # C from a spin-restricted guess -> duplicate; break symmetry slightly
+        occ = occ_uhf(jnp.stack([e, e]), self.mol.nalpha, self.mol.nbeta)
+        Ca = C
+        Cb = C
+        dma = (Ca * occ[0][None, :]) @ Ca.T
+        dmb = (Cb * occ[1][None, :]) @ Cb.T
+        return jnp.stack([dma, dmb])
+
+    def get_veff(self, dm):
+        J, K = self._jk(dm)                     # [2, n, n] each
+        Jtot = J[0] + J[1]
+        veff = jnp.stack([Jtot - K[0], Jtot - K[1]])
+        ecoul = 0.5 * jnp.einsum("sij,ij->", dm, Jtot)
+        exx = -0.5 * jnp.einsum("sij,sij->", dm, K)
+        return veff, ecoul + exx
+
+    def _make_step(self, H, S, X):
+        na, nb = self.mol.nalpha, self.mol.nbeta
+        ls = self.opts.level_shift
+
+        def step(diis, dm, use_diis):
+            veff, e2 = self.get_veff(dm)
+            F = H[None] + veff                  # [2, n, n]
+            e_elec = jnp.einsum("sij,ij->", dm, H) + e2
+            errs = []
+            for s in range(2):
+                sdf = S @ dm[s] @ F[s]
+                errs.append(X.T @ (sdf - sdf.T) @ X)
+            err = jnp.stack(errs)
+            err_norm = jnp.linalg.norm(err)
+            diis, F_x = diis_update(diis, F, err)
+            F_use = jnp.where(use_diis, F_x, F)
+            if ls:
+                shift = jnp.stack([ls * (S - S @ dm[0] @ S),
+                                   ls * (S - S @ dm[1] @ S)])
+                F_use = F_use + shift
+            ea, Ca = _fock_eig(F_use[0], X)
+            eb, Cb = _fock_eig(F_use[1], X)
+            occ = occ_uhf(jnp.stack([ea, eb]), na, nb)
+            dma = (Ca * occ[0][None, :]) @ Ca.T
+            dmb = (Cb * occ[1][None, :]) @ Cb.T
+            return (diis, jnp.stack([dma, dmb]), e_elec, err_norm,
+                    jnp.stack([ea, eb]), jnp.stack([Ca, Cb]))
+
+        return step
+
+    def spin_square(self):
+        """<S^2> and multiplicity from the converged UHF solution."""
+        S = self.build_ints()["S"]
+        na, nb = self.mol.nalpha, self.mol.nbeta
+        Ca = self.mo_coeff[0][:, :na]
+        Cb = self.mo_coeff[1][:, :nb]
+        ovlp = Ca.T @ S @ Cb
+        sz = 0.5 * (na - nb)
+        s2 = sz * sz + sz + nb - jnp.sum(ovlp * ovlp)
+        return float(s2), float(2 * np.sqrt(float(s2) + 0.25))
+
+
+class ROHF(UHF):
+    """Restricted open-shell HF via Roothaan's effective Fock matrix."""
+
+    restricted = True
+
+    def _diis_size(self, dm) -> int:
+        return int(np.prod(dm.shape[1:]))
+
+    def _make_step(self, H, S, X):
+        na, nb = self.mol.nalpha, self.mol.nbeta
+        n = self.mol.nao
+
+        def step(diis, dm, use_diis):
+            veff, e2 = self.get_veff(dm)
+            Fa = H + veff[0]
+            Fb = H + veff[1]
+            e_elec = jnp.einsum("sij,ij->", dm, H) + e2
+            # Roothaan effective Fock: combine Fa/Fb by closed/open/virtual
+            # projectors built from the current density matrices.
+            dm_core = dm[1]                    # doubly occupied ~ beta dm
+            dm_open = dm[0] - dm[1]
+            Pc = S @ dm_core
+            Po = S @ dm_open
+            Pv = jnp.eye(n) - Pc - Po
+            Fc = 0.5 * (Fa + Fb)
+            R = (Pc.T @ Fc @ Pc + Po.T @ Fc @ Po + Pv.T @ Fc @ Pv
+                 + Po.T @ Fb @ Pc + Pc.T @ Fb @ Po
+                 + Pv.T @ Fa @ Po + Po.T @ Fa @ Pv
+                 + Pv.T @ Fc @ Pc + Pc.T @ Fc @ Pv)
+            R = 0.5 * (R + R.T)
+            sdf = S @ (dm[0] + dm[1]) @ R
+            err = X.T @ (sdf - sdf.T) @ X
+            err_norm = jnp.linalg.norm(err)
+            diis, R_x = diis_update(diis, R, err)
+            R_use = jnp.where(use_diis, R_x, R)
+            mo_e, mo_c = _fock_eig(R_use, X)
+            occ = occ_uhf(jnp.stack([mo_e, mo_e]), na, nb)
+            dma = (mo_c * occ[0][None, :]) @ mo_c.T
+            dmb = (mo_c * occ[1][None, :]) @ mo_c.T
+            return (diis, jnp.stack([dma, dmb]), e_elec, err_norm,
+                    jnp.stack([mo_e, mo_e]), jnp.stack([mo_c, mo_c]))
+
+        return step
