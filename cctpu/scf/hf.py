@@ -91,8 +91,9 @@ class SCFBase:
 
     restricted = True
 
-    def __init__(self, mol: Molecule, **opts):
+    def __init__(self, mol: Molecule, density_fit: bool = False, **opts):
         self.mol = mol.build() if mol._basis_set is None else mol
+        self.density_fit = density_fit
         self.opts = SCFOptions(**{k: v for k, v in opts.items()
                                   if hasattr(SCFOptions, k)})
         # PySCF-compatible attribute spellings used by the reference
@@ -120,7 +121,11 @@ class SCFBase:
 
     def get_jk_builder(self):
         if self._jk is None:
-            self._jk = IncoreJK(self.mol, self.coords)
+            if self.density_fit:
+                from cctpu.ints.df import DFJK
+                self._jk = DFJK(self.mol, self.coords)
+            else:
+                self._jk = IncoreJK(self.mol, self.coords)
         return self._jk
 
     # -- model-specific pieces (overridden by RKS/UKS) ------------------------
