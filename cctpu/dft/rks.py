@@ -1,0 +1,160 @@
+"""Kohn–Sham DFT: RKS / UKS.
+
+Replaces PySCF dft.RKS/UKS + gpu4pyscf's CUDA XC integration (reference call
+stack SURVEY.md §3.1). Design:
+ - grid AO values are evaluated once per geometry and chunked; the XC energy
+   is a lax.scan over fixed-size grid chunks (bounded memory, one compile);
+ - the XC Fock matrix is jax.grad of E_xc[D] — machine-exact potentials with
+   zero hand-written derivative code, including meta-GGAs;
+ - hybrids mix DF/in-core exact exchange through the same J/K builders as HF.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cctpu.dft.grids import Grids
+from cctpu.dft.numint import eval_ao
+from cctpu.dft.xc import get_functional
+from cctpu.scf.hf import RHF, UHF, SCFBase
+
+
+def _chunk_aos(ao, w, chunk: int):
+    """Pad and reshape AO/weight arrays into fixed-size chunks."""
+    nderiv, npts, nao = ao.shape
+    npad = (-npts) % chunk
+    ao = jnp.pad(ao, ((0, 0), (0, npad), (0, 0)))
+    w = jnp.pad(w, (0, npad))
+    return (ao.reshape(nderiv, -1, chunk, nao).swapaxes(0, 1),
+            w.reshape(-1, chunk))
+
+
+class _XCMixin:
+    """Shared XC machinery for RKS/UKS. Set self.xc before kernel()."""
+
+    xc: str = "lda"
+    grid_level: int = 3
+    grid_chunk: int = 8192
+
+    def _setup_xc(self):
+        self.func = get_functional(self.xc)
+        if self.func.xctype == "HF":
+            self._exc_chunks = None
+            return
+        grids = Grids(self.mol, level=self.grid_level)
+        pts, w = grids.build(self.coords)
+        deriv = 0 if self.func.xctype == "LDA" else 1
+        ao = eval_ao(self.mol.basis_set, self.coords, pts, deriv=max(deriv, 1))
+        self.grids = grids
+        self._ao_chunks, self._w_chunks = _chunk_aos(ao, w, self.grid_chunk)
+
+    def _exc_total(self, dm):
+        """E_xc[D]; dm is [n,n] (restricted: total density) or [2,n,n]."""
+        func = self.func
+        restricted = dm.ndim == 2
+
+        def chunk_exc(ao, w):
+            a0 = ao[0]
+            if restricted:
+                Dh = 0.5 * dm
+                da = jnp.einsum("ij,pj->pi", Dh, a0)
+                ra = jnp.einsum("pi,pi->p", a0, da)
+                rb = ra
+                ga = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], da)
+                                for d in range(3)], -1)
+                gb = ga
+            else:
+                da = jnp.einsum("ij,pj->pi", dm[0], a0)
+                db = jnp.einsum("ij,pj->pi", dm[1], a0)
+                ra = jnp.einsum("pi,pi->p", a0, da)
+                rb = jnp.einsum("pi,pi->p", a0, db)
+                ga = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], da)
+                                for d in range(3)], -1)
+                gb = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], db)
+                                for d in range(3)], -1)
+            saa = jnp.einsum("pd,pd->p", ga, ga)
+            sab = jnp.einsum("pd,pd->p", ga, gb)
+            sbb = jnp.einsum("pd,pd->p", gb, gb)
+            if func.xctype == "MGGA":
+                if restricted:
+                    ta = 0.25 * sum(
+                        jnp.einsum("pi,ij,pj->p", ao[1 + d], dm, ao[1 + d])
+                        for d in range(3))
+                    tb = ta
+                else:
+                    ta = 0.5 * sum(
+                        jnp.einsum("pi,ij,pj->p", ao[1 + d], dm[0], ao[1 + d])
+                        for d in range(3))
+                    tb = 0.5 * sum(
+                        jnp.einsum("pi,ij,pj->p", ao[1 + d], dm[1], ao[1 + d])
+                        for d in range(3))
+            else:
+                ta = tb = jnp.zeros_like(ra)
+            e = func.exc(ra, rb, saa, sab, sbb, ta, tb)
+            return jnp.sum(w * e)
+
+        def body(acc, chunk):
+            ao, w = chunk
+            return acc + chunk_exc(ao, w), None
+
+        total, _ = jax.lax.scan(body, 0.0,
+                                (self._ao_chunks, self._w_chunks))
+        return total
+
+
+class RKS(_XCMixin, RHF):
+    def __init__(self, mol, xc: str = "lda", **opts):
+        super().__init__(mol, **opts)
+        self.xc = xc
+        self.grid_level = opts.get("grid_level", 3)
+        self._setup_xc()
+
+    def get_veff(self, dm):
+        func = self.func
+        J, K = self._jk(dm, with_k=bool(func.hyb))
+        ecoul = 0.5 * jnp.einsum("ij,ij->", dm, J)
+        veff = J
+        e2 = ecoul
+        if func.hyb:
+            veff = veff - 0.5 * func.hyb * K
+            e2 = e2 - 0.25 * func.hyb * jnp.einsum("ij,ij->", dm, K)
+        if func.exc is not None:
+            exc = self._exc_total(dm)
+            vxc = jax.grad(self._exc_total)(dm)
+            # project onto symmetric matrices: D is constrained symmetric,
+            # and the GGA terms make the raw AD gradient asymmetric
+            vxc = 0.5 * (vxc + vxc.T)
+            veff = veff + vxc
+            e2 = e2 + exc
+        return veff, e2
+
+
+class UKS(_XCMixin, UHF):
+    def __init__(self, mol, xc: str = "lda", **opts):
+        super().__init__(mol, **opts)
+        self.xc = xc
+        self.grid_level = opts.get("grid_level", 3)
+        self._setup_xc()
+
+    def get_veff(self, dm):
+        func = self.func
+        J, K = self._jk(dm, with_k=bool(func.hyb))
+        Jtot = J[0] + J[1]
+        ecoul = 0.5 * jnp.einsum("sij,ij->", dm, Jtot)
+        veff = jnp.stack([Jtot, Jtot])
+        e2 = ecoul
+        if func.hyb:
+            veff = veff - func.hyb * K
+            e2 = e2 - 0.5 * func.hyb * jnp.einsum("sij,sij->", dm, K)
+        if func.exc is not None:
+            exc = self._exc_total(dm)
+            vxc = jax.grad(self._exc_total)(dm)
+            vxc = 0.5 * (vxc + jnp.swapaxes(vxc, -1, -2))
+            veff = veff + vxc
+            e2 = e2 + exc
+        return veff, e2

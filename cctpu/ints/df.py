@@ -210,9 +210,10 @@ class DFJK:
         B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
         return B.reshape(naux, nao, nao)
 
-    def __call__(self, dm):
+    def __call__(self, dm, with_k: bool = True):
         B = self.B
         Jp = jnp.einsum("pij,...ij->...p", B, dm)
         J = jnp.einsum("...p,pij->...ij", Jp, B)
-        K = jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
+        K = (jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
+             if with_k else None)
         return J, K

@@ -35,9 +35,9 @@ class IncoreJK:
         c = jnp.asarray(mol.coords if coords is None else coords)
         self.eri = jnp.asarray(build_eri_incore(mol.basis_set, c))
 
-    def __call__(self, dm):
+    def __call__(self, dm, with_k: bool = True):
         J = jnp.einsum("ijkl,...kl->...ij", self.eri, dm)
-        K = jnp.einsum("ikjl,...kl->...ij", self.eri, dm)
+        K = jnp.einsum("ikjl,...kl->...ij", self.eri, dm) if with_k else None
         return J, K
 
 
