@@ -136,8 +136,10 @@ class Grids:
         natm = self.mol.natm
         # distances point-to-atom [npts, natm]
         d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :], axis=-1)
-        R = jnp.linalg.norm(coords[:, None, :] - coords[None, :, :],
-                            axis=-1) + jnp.eye(natm)
+        # add the identity inside the sqrt so the zero diagonal has a finite
+        # gradient (norm of a zero vector is NaN under AD)
+        dR = coords[:, None, :] - coords[None, :, :]
+        R = jnp.sqrt(jnp.sum(dR * dR, axis=-1) + jnp.eye(natm))
         mu = (d[:, :, None] - d[:, None, :]) / R[None, :, :]   # [npts,i,j]
         nu = mu + jnp.asarray(self._a_adjust)[None] * (1 - mu ** 2)
         f = nu

@@ -54,7 +54,18 @@ class _XCMixin:
         self._ao_chunks, self._w_chunks = _chunk_aos(ao, w, self.grid_chunk)
 
     def _exc_total(self, dm):
-        """E_xc[D]; dm is [n,n] (restricted: total density) or [2,n,n]."""
+        """E_xc[D] on the cached grid (fixed geometry)."""
+        return self._exc_with(dm, self._ao_chunks, self._w_chunks)
+
+    def exc_of_coords(self, coords, dm):
+        """E_xc[D] rebuilt at arbitrary coords (differentiable — used by
+        the nuclear-gradient path; includes grid-weight derivatives)."""
+        pts, w = self.grids.build(coords)
+        ao = eval_ao(self.mol.basis_set, coords, pts, deriv=1)
+        ao_c, w_c = _chunk_aos(ao, w, self.grid_chunk)
+        return self._exc_with(dm, ao_c, w_c)
+
+    def _exc_with(self, dm, ao_chunks, w_chunks):
         func = self.func
         restricted = dm.ndim == 2
 
@@ -102,8 +113,7 @@ class _XCMixin:
             ao, w = chunk
             return acc + chunk_exc(ao, w), None
 
-        total, _ = jax.lax.scan(body, 0.0,
-                                (self._ao_chunks, self._w_chunks))
+        total, _ = jax.lax.scan(body, 0.0, (ao_chunks, w_chunks))
         return total
 
 

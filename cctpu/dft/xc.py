@@ -145,11 +145,13 @@ def e_x_b88(ra, rb, saa, sab, sbb, *_):
     out = 0.0
     for r, s in ((ra, saa), (rb, sbb)):
         m, rs = _safe(r)
+        ms = s > 1e-24           # double-where: sqrt(0) has NaN gradient
+        ss = jnp.where(ms, s, 1.0)
         r43 = rs ** (4.0 / 3.0)
-        x = jnp.sqrt(jnp.where(s > 0, s, 0.0)) / r43
+        x = jnp.sqrt(ss) / r43
         lda = -_CX * 2.0 ** (1.0 / 3.0) * r43
-        corr = -_B88_BETA * r43 * x * x / (
-            1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x))
+        corr = jnp.where(ms, -_B88_BETA * r43 * x * x / (
+            1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x)), 0.0)
         out = out + jnp.where(m, lda + corr, 0.0)
     return out
 
@@ -159,10 +161,12 @@ def e_x_b88_gradcorr(ra, rb, saa, sab, sbb, *_):
     out = 0.0
     for r, s in ((ra, saa), (rb, sbb)):
         m, rs = _safe(r)
+        ms = s > 1e-24
+        ss = jnp.where(ms, s, 1.0)
         r43 = rs ** (4.0 / 3.0)
-        x = jnp.sqrt(jnp.where(s > 0, s, 0.0)) / r43
-        corr = -_B88_BETA * r43 * x * x / (
-            1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x))
+        x = jnp.sqrt(ss) / r43
+        corr = jnp.where(ms, -_B88_BETA * r43 * x * x / (
+            1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x)), 0.0)
         out = out + jnp.where(m, corr, 0.0)
     return out
 
@@ -213,9 +217,9 @@ def e_x_pbe(ra, rb, saa, sab, sbb, *_):
         m, rs = _safe(r)
         r2 = 2.0 * rs
         kf = (3.0 * math.pi ** 2 * r2) ** (1.0 / 3.0)
-        # |grad(2 rho_s)| = 2 sqrt(s)
-        ss = 2.0 * jnp.sqrt(jnp.where(s > 0, s, 0.0)) / (2.0 * kf * r2)
-        F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * ss * ss
+        # s^2 = 4*sigma / (2 kf * 2rho)^2 — no sqrt needed, NaN-safe
+        s2 = 4.0 * jnp.where(s > 0, s, 0.0) / (2.0 * kf * r2) ** 2
+        F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s2
                                              / _PBE_KAPPA)
         lda = -_CX * r2 ** (4.0 / 3.0)
         out = out + jnp.where(m, 0.5 * lda * F, 0.0)

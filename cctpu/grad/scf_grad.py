@@ -1,0 +1,94 @@
+"""Analytic nuclear gradients for HF/DFT via AD of the integral builders.
+
+TPU-native replacement for libcint's derivative integrals + PySCF's
+Gradients classes (reference hot loop #1, SURVEY.md §3.2): the standard
+analytic-gradient expression
+
+  dE/dR = Tr[D dH/dR] + 1/2 Tr[D dJ/dR D] - (ax/4) Tr[D dK/dR D]
+        + dExc/dR|_D - Tr[W dS/dR] + dEnuc/dR
+
+is obtained as ONE jax.grad of a scalar "gradient Lagrangian" L(R) evaluated
+at the converged density D and energy-weighted density W — every integral
+derivative comes from AD through the McMurchie–Davidson recursions, and the
+XC term includes Becke-weight derivatives automatically because the grid
+build is traced through the coordinates. No CPHF is needed for SCF
+gradients (Hellmann–Feynman + Pulay closure).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cctpu.ints.one_electron import build_int1e
+from cctpu.ints.two_electron import energy_2e_direct
+
+
+def _energy_weighted_dm(mf):
+    if mf.mo_coeff.ndim == 3:        # unrestricted
+        W = 0.0
+        for s in range(2):
+            C = mf.mo_coeff[s]
+            w = mf.mo_occ[s] * mf.mo_energy[s]
+            W = W + (C * w[None, :]) @ C.T
+        return W
+    C = mf.mo_coeff
+    w = mf.mo_occ * mf.mo_energy
+    return (C * w[None, :]) @ C.T
+
+
+def scf_gradient(mf) -> jnp.ndarray:
+    """Nuclear gradient [natm, 3] of a converged SCF object (RHF/UHF/ROHF/
+    RKS/UKS, in-core or DF)."""
+    mol = mf.mol
+    basis = mol.basis_set
+    charges = jnp.asarray(mol.charges)
+    dm = mf.dm
+    spin_resolved = dm.ndim == 3
+    Dtot = dm[0] + dm[1] if spin_resolved else dm
+    W = _energy_weighted_dm(mf)
+
+    func = getattr(mf, "func", None)
+    if func is None:
+        ax = 1.0
+        has_xc = False
+    else:
+        ax = func.hyb
+        has_xc = func.exc is not None
+
+    use_df = getattr(mf, "density_fit", False)
+
+    def lagrangian(R):
+        ints = build_int1e(basis, R, charges)
+        H = ints["T"] + ints["V"]
+        e = jnp.einsum("ij,ij->", Dtot, H) - jnp.einsum("ij,ij->", W,
+                                                        ints["S"])
+        if use_df:
+            from cctpu.ints.df import build_2c2e, build_3c2e
+            aux = mf._jk.aux
+            X = build_3c2e(basis, aux, R)
+            M = build_2c2e(aux, R)
+            w_, V_ = jnp.linalg.eigh(M)
+            keep = w_ > 1e-12 * jnp.max(w_)
+            inv_sqrt = jnp.where(keep,
+                                 1.0 / jnp.sqrt(jnp.where(keep, w_, 1.0)), 0.0)
+            naux, nao = X.shape[0], X.shape[1]
+            B = ((V_ * inv_sqrt[None, :]).T @ X.reshape(naux, -1)
+                 ).reshape(naux, nao, nao)
+            Jp = jnp.einsum("pij,ij->p", B, Dtot)
+            e2 = 0.5 * jnp.dot(Jp, Jp)
+            if ax:
+                dms = dm if spin_resolved else 0.5 * dm[None].repeat(2, 0)
+                ek = sum(jnp.einsum("pik,kl,pjl,ij->", B, dms[s], B, dms[s])
+                         for s in range(2))
+                e2 = e2 - 0.5 * ax * ek
+        else:
+            e2 = energy_2e_direct(basis, R, dm, k_weight=ax)
+        e = e + e2
+        if has_xc:
+            e = e + mf.exc_of_coords(R, dm)
+        e = e + mol.energy_nuc(R)
+        return e
+
+    return jax.grad(lagrangian)(jnp.asarray(mol.coords))

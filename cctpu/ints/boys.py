@@ -46,27 +46,34 @@ def _double_factorial(n: int) -> float:
 def boys(T: jnp.ndarray, mmax: int) -> jnp.ndarray:
     """F_m(T) for m = 0..mmax. T: any shape; returns shape (mmax+1,) + T.shape."""
     T = jnp.asarray(T, dtype=jnp.float64)
-    Ts = jnp.maximum(T, 1e-300)  # NaN-safety for the mid/large branches
-
     m = mmax
     a = m + 0.5
+
+    in_small = T < _T_SMALL
+    in_large = T > _T_LARGE
+    # Double-where: every branch sees a safe argument so that AD of the
+    # *unselected* branch cannot produce NaN/Inf (classic where-grad leak).
+    T_ser = jnp.where(in_small, T, 0.0)
+    T_gam = jnp.where(in_small | in_large, 1.0, T)
+    T_asy = jnp.where(in_large, T, 2.0 * _T_LARGE)
+
     # Series branch (exact near 0). 12 terms: error < T^12/12! ~ 1e-20 at T=0.1.
     acc = jnp.zeros_like(T)
     term = jnp.ones_like(T)
     for k in range(12):
         acc = acc + term / (2 * m + 2 * k + 1)
-        term = term * (-T) / (k + 1)
+        term = term * (-T_ser) / (k + 1)
     f_series = acc
 
     # Incomplete-gamma branch.
-    f_gamma = math.gamma(a) * gammainc(a, Ts) / (2.0 * Ts ** a)
+    f_gamma = math.gamma(a) * gammainc(a, T_gam) / (2.0 * T_gam ** a)
 
     # Asymptotic branch.
     f_asym = (_double_factorial(2 * m - 1) / (2.0 ** (m + 1))
-              * jnp.sqrt(math.pi / Ts ** (2 * m + 1)))
+              * jnp.sqrt(math.pi / T_asy ** (2 * m + 1)))
 
-    f_m = jnp.where(T < _T_SMALL, f_series,
-                    jnp.where(T > _T_LARGE, f_asym, f_gamma))
+    f_m = jnp.where(in_small, f_series,
+                    jnp.where(in_large, f_asym, f_gamma))
 
     out = [f_m]
     expT = jnp.exp(-T)

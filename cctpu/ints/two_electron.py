@@ -129,6 +129,115 @@ def eri_quartet_kernel(ls: Tuple[int, int, int, int],
     return out
 
 
+def energy_2e_direct(basis: BasisSet, coords, dm, k_weight: float = 0.5,
+                     omega: Optional[float] = None,
+                     dm_k=None, omega_k: Optional[float] = None):
+    """E_2e = 1/2 sum D J(D) - k_weight/2 * sum D K(D), fully differentiable.
+
+    Never materializes the nao^4 tensor: each unique shell quartet's block is
+    contracted immediately with gathered density sub-blocks using the 8-fold
+    symmetry multiplicities. This is both the gradient path (jax.grad w.r.t.
+    coords gives the exact two-electron nuclear-gradient term) and the
+    blueprint for the fused direct-Fock TPU kernel.
+
+    dm: [nao, nao] total density (restricted) or [2, nao, nao] spin densities.
+    k_weight: 0.5 for RHF-like exchange of the *total* density; for
+    spin-resolved dm the exchange is summed per spin with weight 1.
+    dm_k/omega_k: optionally use a different density / range separation for
+    the exchange term (RSH support).
+    """
+    coords = jnp.asarray(coords)
+    nao = basis.nao
+    spin_resolved = dm.ndim == 3
+    if dm_k is None:
+        dm_k = dm
+    # pad density with a zero row/col for padding quartets
+    if spin_resolved:
+        Dt = jnp.pad(dm[0] + dm[1], ((0, 1), (0, 1)))
+        Dks = jnp.pad(dm_k, ((0, 0), (0, 1), (0, 1)))
+    else:
+        Dt = jnp.pad(dm, ((0, 1), (0, 1)))
+        Dks = jnp.pad(dm_k, ((0, 1), (0, 1)))[None]
+
+    pcs = pair_classes(basis)
+    e_j = 0.0
+    e_k = 0.0
+    for i1, p1 in enumerate(pcs):
+        for p2 in pcs[i1:]:
+            same = p1 is p2
+            q1, q2 = np.mgrid[0:p1.n, 0:p2.n]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if same:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+
+            # multiplicities w1*w2*wbk (see derivation in grad tests)
+            w1 = np.where(np.asarray(p1.ia)[q1] == np.asarray(p1.ib)[q1]
+                          if p1.la == p1.lb else np.zeros(len(q1), bool),
+                          1.0, 2.0)
+            w2 = np.where(np.asarray(p2.ia)[q2] == np.asarray(p2.ib)[q2]
+                          if p2.la == p2.lb else np.zeros(len(q2), bool),
+                          1.0, 2.0)
+            wbk = np.where(same & (q1 == q2), 1.0, 2.0)
+            mult = w1 * w2 * wbk
+
+            ls = (p1.la, p1.lb, p2.la, p2.lb)
+            vkern = _quartet_vmapped_open(ls, omega)
+            chunk = _class_chunk(ls, p1.exps_a.shape[1], p1.exps_b.shape[1],
+                                 p2.exps_a.shape[1], p2.exps_b.shape[1])
+            nreal = len(q1)
+            npad = (-nreal) % chunk
+            q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
+            q2p = np.concatenate([q2, np.zeros(npad, np.int64)])
+            multp = np.concatenate([mult, np.zeros(npad)])
+            padm = np.concatenate([np.zeros(nreal, bool), np.ones(npad, bool)])
+            sa, sb = nsph(p1.la), nsph(p1.lb)
+            sc, sd = nsph(p2.la), nsph(p2.lb)
+            for s in range(0, len(q1p), chunk):
+                sl1, sl2 = q1p[s:s+chunk], q2p[s:s+chunk]
+                mu = jnp.asarray(multp[s:s+chunk])
+                pm = padm[s:s+chunk]
+                blocks = vkern(
+                    jnp.asarray(p1.exps_a[sl1]), jnp.asarray(p1.coefs_a[sl1]),
+                    coords[p1.atom_a[sl1]],
+                    jnp.asarray(p1.exps_b[sl1]), jnp.asarray(p1.coefs_b[sl1]),
+                    coords[p1.atom_b[sl1]],
+                    jnp.asarray(p2.exps_a[sl2]), jnp.asarray(p2.coefs_a[sl2]),
+                    coords[p2.atom_a[sl2]],
+                    jnp.asarray(p2.exps_b[sl2]), jnp.asarray(p2.coefs_b[sl2]),
+                    coords[p2.atom_b[sl2]],
+                )
+                A = np.where(pm[:, None], nao,
+                             p1.ao_a[sl1][:, None] + np.arange(sa))
+                B = np.where(pm[:, None], nao,
+                             p1.ao_b[sl1][:, None] + np.arange(sb))
+                C = np.where(pm[:, None], nao,
+                             p2.ao_a[sl2][:, None] + np.arange(sc))
+                Dx = np.where(pm[:, None], nao,
+                              p2.ao_b[sl2][:, None] + np.arange(sd))
+                Dab = Dt[A[:, :, None], B[:, None, :]]
+                Dcd = Dt[C[:, :, None], Dx[:, None, :]]
+                e_j = e_j + 0.5 * jnp.einsum(
+                    "q,qabcd,qab,qcd->", mu, blocks, Dab, Dcd)
+                if k_weight:
+                    for Dk in Dks:
+                        Dac = Dk[A[:, :, None], C[:, None, :]]
+                        Dbd = Dk[B[:, :, None], Dx[:, None, :]]
+                        Dad = Dk[A[:, :, None], Dx[:, None, :]]
+                        Dbc = Dk[B[:, :, None], C[:, None, :]]
+                        e_k = e_k + 0.125 * jnp.einsum(
+                            "q,qabcd,qac,qbd->", mu, blocks, Dac, Dbd) \
+                            + 0.125 * jnp.einsum(
+                            "q,qabcd,qad,qbc->", mu, blocks, Dad, Dbc)
+    kw = k_weight if not spin_resolved else 2.0 * k_weight
+    return e_j - kw * e_k
+
+
+def _quartet_vmapped_open(ls, omega):
+    """Non-jitted vmapped quartet kernel for use inside outer jit traces."""
+    return _quartet_vmapped(ls, omega)
+
+
 @lru_cache(maxsize=None)
 def _quartet_vmapped(ls: Tuple[int, int, int, int], omega: Optional[float]):
     """Cached jitted+vmapped quartet kernel — one compile per class/shape."""
