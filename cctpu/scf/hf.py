@@ -201,6 +201,29 @@ class SCFBase:
     def make_rdm1(self):
         return self.dm
 
+    def dip_moment(self, unit: str = "Debye"):
+        """Dipole moment vector (electronic + nuclear), origin at (0,0,0)."""
+        from cctpu.core.constants import AU2DEBYE
+        from cctpu.ints.one_electron import build_int1e
+        ints = build_int1e(self.mol.basis_set, self.coords,
+                           jnp.asarray(self.mol.charges), with_dipole=True)
+        dm = self.dm
+        Dtot = dm[0] + dm[1] if dm.ndim == 3 else dm
+        el = -jnp.einsum("dij,ij->d", ints["dipole"], Dtot)
+        nuc = jnp.einsum("i,ix->x", jnp.asarray(self.mol.charges),
+                         self.coords)
+        mu = np.array(el + nuc)
+        return mu * AU2DEBYE if unit.lower().startswith("d") else mu
+
+    def energy_of_coords_fn(self):
+        """(coords -> E_tot) using this object's converged dm as warm start —
+        reconverges SCF at the new geometry (host-level, not traced)."""
+        def fn(coords):
+            mf2 = type(self)(self.mol.with_coords(np.asarray(coords)),
+                             **{"density_fit": self.density_fit})
+            return mf2.kernel(dm0=self.dm)
+        return fn
+
     def _diis_size(self, dm) -> int:
         return int(np.prod(dm.shape))
 
