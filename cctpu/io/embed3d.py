@@ -1,0 +1,202 @@
+"""Deterministic SMILES -> 3D embedding (the ETKDG+MMFF replacement).
+
+The reference pipeline is RDKit's EmbedMolecule(randomSeed=42) + MMFF
+optimization (templates/calculate_energy.py:62-81). Without RDKit we embed
+with a two-stage scheme, same deterministic-seed contract:
+ 1. stress majorization against a graph-derived target distance matrix
+    (bonded r0 from covalent radii x bond-order factors; 1-3 distances from
+    ideal hybridization angles) from a seeded random start;
+ 2. refinement with a minimal force field (harmonic bonds/angles, sp2
+    planarity impropers, staggered torsions, soft nonbonded repulsion) —
+    both stages are jitted JAX energies minimized with SciPy L-BFGS.
+
+Output geometries feed the QC geometry optimizer, which supplies the final
+accuracy — this stage only needs chemically-sane, untangled structures.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from cctpu.core import elements as elem
+from cctpu.core.constants import ANG2BOHR
+from cctpu.io.smiles import MolGraph, parse_smiles
+
+_ORDER_FACTOR = {1: 1.0, 2: 0.87, 3: 0.78}
+
+
+def _expanded_graph(g: MolGraph):
+    """Atoms + explicit hydrogens. Returns (symbols, bonds, heavy_map)."""
+    symbols = [a.symbol for a in g.atoms]
+    bonds: List[Tuple[int, int, int]] = [(b.i, b.j, b.order)
+                                         for b in g.bonds]
+    nh_of = []
+    for a in g.atoms:
+        nh_of.append(a.n_h)
+    n = len(symbols)
+    for ia, nh in enumerate(nh_of):
+        for _ in range(nh):
+            symbols.append("H")
+            bonds.append((ia, len(symbols) - 1, 1))
+    return symbols, bonds
+
+
+def _r0(sym_i, sym_j, order):
+    ri = elem.COVALENT_RADII[elem.symbol_to_z(sym_i)]
+    rj = elem.COVALENT_RADII[elem.symbol_to_z(sym_j)]
+    return (ri + rj) * _ORDER_FACTOR.get(order, 0.92)
+
+
+def embed_molecule(g: MolGraph, seed: int = 42):
+    """Return (symbols incl. H, coords [n,3] in Angstrom)."""
+    symbols, bonds = _expanded_graph(g)
+    n = len(symbols)
+    if n == 1:
+        return symbols, np.zeros((1, 3))
+
+    nbrs = [[] for _ in range(n)]
+    order_of = {}
+    for (i, j, o) in bonds:
+        nbrs[i].append(j)
+        nbrs[j].append(i)
+        order_of[(min(i, j), max(i, j))] = o
+
+    def hyb(i):
+        orders = [order_of[(min(i, j), max(i, j))] for j in nbrs[i]]
+        arom = (i < g.natoms and g.atoms[i].aromatic)
+        if 3 in orders or (orders.count(2) >= 2):
+            return 1
+        if 2 in orders or arom:
+            return 2
+        return 3
+
+    theta0 = {1: math.pi, 2: math.radians(120.0), 3: math.radians(109.471)}
+
+    # bond terms
+    bond_idx = np.array([(i, j) for (i, j, o) in bonds])
+    bond_r0 = np.array([_r0(symbols[i], symbols[j], o)
+                        for (i, j, o) in bonds])
+    # angle terms
+    ang = []
+    ang_t0 = []
+    for j in range(n):
+        for a in range(len(nbrs[j])):
+            for b in range(a + 1, len(nbrs[j])):
+                ang.append((nbrs[j][a], j, nbrs[j][b]))
+                ang_t0.append(theta0[hyb(j)])
+    ang = np.array(ang) if ang else np.zeros((0, 3), int)
+    ang_t0 = np.array(ang_t0)
+
+    # sp2 planarity: improper for centers with exactly 3 neighbors and sp2
+    imp = []
+    for j in range(n):
+        if hyb(j) == 2 and len(nbrs[j]) == 3:
+            imp.append((j, *nbrs[j][:3]))
+    imp = np.array(imp) if imp else np.zeros((0, 4), int)
+
+    # 1-4+ soft repulsion: all pairs not bonded / angle-related
+    bonded_pairs = {(min(i, j), max(i, j)) for (i, j, o) in bonds}
+    for (i, j, k) in ang:
+        bonded_pairs.add((min(i, k), max(i, k)))
+    rep = np.array([(i, j) for i in range(n) for j in range(i + 1, n)
+                    if (i, j) not in bonded_pairs])
+    rep_r = (np.array([[elem.COVALENT_RADII[elem.symbol_to_z(symbols[i])]
+                        + elem.COVALENT_RADII[elem.symbol_to_z(symbols[j])]
+                        for (i, j) in rep]]) .ravel() * 1.6
+             if len(rep) else np.zeros(0))
+
+    # graph-distance targets for stage 1
+    INF = 1e9
+    D = np.full((n, n), INF)
+    np.fill_diagonal(D, 0.0)
+    for (i, j, o) in bonds:
+        D[i, j] = D[j, i] = _r0(symbols[i], symbols[j], o)
+    for k in range(n):
+        D = np.minimum(D, D[:, k:k + 1] + D[k:k + 1, :])
+    # 1-3 from law of cosines
+    for (i, j, k), t0 in zip(ang, ang_t0):
+        r1 = D[i, j]
+        r2 = D[j, k]
+        d13 = math.sqrt(r1 * r1 + r2 * r2 - 2 * r1 * r2 * math.cos(t0))
+        D[i, k] = D[k, i] = d13
+    iu = np.triu_indices(n, 1)
+    graph_sep = np.full((n, n), 10)
+    # weights: strong for short graph paths
+    Wm = 1.0 / np.maximum(D, 0.5) ** 2
+    targets = D[iu]
+    weights = Wm[iu]
+
+    ii, jj = iu
+
+    def stress(xf):
+        x = xf.reshape(n, 3)
+        d = jnp.linalg.norm(x[ii] - x[jj] + 1e-12, axis=1)
+        return jnp.sum(weights * (d - targets) ** 2)
+
+    def ff_energy(xf):
+        x = xf.reshape(n, 3)
+        e = 0.0
+        db = jnp.linalg.norm(x[bond_idx[:, 0]] - x[bond_idx[:, 1]] + 1e-12,
+                             axis=1)
+        e = e + 300.0 * jnp.sum((db - bond_r0) ** 2)
+        if len(ang):
+            v1 = x[ang[:, 0]] - x[ang[:, 1]]
+            v2 = x[ang[:, 2]] - x[ang[:, 1]]
+            cs = jnp.sum(v1 * v2, 1) / (
+                jnp.linalg.norm(v1, axis=1) * jnp.linalg.norm(v2, axis=1)
+                + 1e-12)
+            th = jnp.arccos(jnp.clip(cs, -1 + 1e-9, 1 - 1e-9))
+            e = e + 60.0 * jnp.sum((th - ang_t0) ** 2)
+        if len(imp):
+            c = x[imp[:, 0]]
+            p1, p2, p3 = x[imp[:, 1]], x[imp[:, 2]], x[imp[:, 3]]
+            nrm = jnp.cross(p2 - p1, p3 - p1)
+            nrm = nrm / (jnp.linalg.norm(nrm, axis=1, keepdims=True) + 1e-12)
+            h = jnp.sum((c - (p1 + p2 + p3) / 3.0) * nrm, axis=1)
+            e = e + 80.0 * jnp.sum(h ** 2)
+        if len(rep):
+            dr = jnp.linalg.norm(x[rep[:, 0]] - x[rep[:, 1]] + 1e-12, axis=1)
+            e = e + jnp.sum(jnp.where(dr < rep_r,
+                                      5.0 * (rep_r - dr) ** 2, 0.0))
+        return e
+
+    key = jax.random.PRNGKey(seed)
+    x0 = np.asarray(jax.random.normal(key, (n, 3))) * (0.5 * n ** (1 / 3) + 1)
+
+    for fn in (stress, ff_energy):
+        val = jax.jit(fn)
+        grad = jax.jit(jax.grad(fn))
+        r = minimize(lambda v: float(val(jnp.asarray(v))),
+                     x0.ravel(),
+                     jac=lambda v: np.asarray(grad(jnp.asarray(v)),
+                                              dtype=np.float64),
+                     method="L-BFGS-B",
+                     options={"maxiter": 500, "ftol": 1e-10})
+        x0 = r.x.reshape(n, 3)
+
+    return symbols, x0
+
+
+def smiles_to_xyz(smiles: str, seed: int = 42):
+    """SMILES -> (symbols, coords Angstrom), reference smiles_to_xyz
+    contract (templates/calculate_energy.py:62-81)."""
+    g = parse_smiles(smiles)
+    return embed_molecule(g, seed=seed)
+
+
+def smiles_to_molecule(smiles: str, charge=None, spin: int = 0,
+                       basis: str = "sto-3g", seed: int = 42):
+    from cctpu.core.molecule import Molecule
+    g = parse_smiles(smiles)
+    symbols, coords = embed_molecule(g, seed=seed)
+    from cctpu.io.smiles import total_charge
+    if charge is None:
+        charge = total_charge(g)
+    return Molecule.from_atoms(list(zip(symbols, coords)), charge=charge,
+                               spin=spin, basis=basis)
