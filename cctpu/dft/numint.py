@@ -1,15 +1,16 @@
 """Numerical integration: AO evaluation on grids and XC energy assembly.
 
 TPU-native replacement for PySCF's numint + gpu4pyscf's CUDA grid kernels
-(SURVEY.md §2.2): AO values on a grid chunk are dense [npts, nao] matrices
-built per angular-momentum group (static shapes, einsum onto the MXU), and
-the XC contribution to the Fock matrix is obtained by AD of the scalar
-E_xc[D] — one jax.grad instead of hand-coded vrho/vsigma/vtau chain rules.
+(SURVEY.md §2.2). Layout rule learned from the v5e memory tiler: keep the
+large grid-point axis LAST in every intermediate — a trailing primitive or
+cartesian axis of size ~6 gets tile-padded to 128 lanes and multiplies HBM
+use by ~20x. All per-group tensors here are [..., npts]; the [npts, nao]
+matrix is produced by one final transpose.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -28,28 +29,32 @@ def eval_ao(basis: BasisSet, coords, pts, deriv: int = 0):
     npts = pts.shape[0]
     nao = basis.nao
     nout = 1 if deriv == 0 else 4
-    planes = [jnp.zeros((npts, nao)) for _ in range(nout)]
+    # planes in [nao, npts] layout; transpose once at the end
+    planes = [jnp.zeros((nao, npts)) for _ in range(nout)]
 
+    ptsT = pts.T                                        # [3, npts]
     for l, g in basis.groups.items():
-        centers = coords[g.atom_idx]                     # [ns, 3]
-        d = pts[:, None, :] - centers[None, :, :]        # [npts, ns, 3]
-        r2 = jnp.sum(d * d, axis=-1)                     # [npts, ns]
-        # radial parts: R0 = sum_p c_p exp(-a_p r^2); R1 = sum_p c_p a_p exp
-        ex = jnp.exp(-jnp.asarray(g.exps)[None, :, :] * r2[:, :, None])
-        R0 = jnp.einsum("sp,nsp->ns", jnp.asarray(g.coefs), ex)
+        centers = coords[g.atom_idx]                    # [ns, 3]
+        d = ptsT[None, :, :] - centers[:, :, None]      # [ns, 3, npts]
+        r2 = jnp.sum(d * d, axis=1)                     # [ns, npts]
+        exps = jnp.asarray(g.exps)                      # [ns, np]
+        coefs = jnp.asarray(g.coefs)
+        ex = jnp.exp(-exps[:, :, None] * r2[:, None, :])   # [ns, np, npts]
+        R0 = jnp.einsum("sp,spn->sn", coefs, ex)        # [ns, npts]
         comps = cart_components(l)
-        x, y, z = d[..., 0], d[..., 1], d[..., 2]
+        x, y, z = d[:, 0, :], d[:, 1, :], d[:, 2, :]
         M = jnp.stack([x ** ax * y ** ay * z ** az
-                       for (ax, ay, az) in comps], axis=-1)
-        T = jnp.asarray(cart2sph(l))                     # [nsph, ncart]
-        val = jnp.einsum("ns,nsc,mc->nsm", R0, M, T)     # [npts, ns, nsph]
+                       for (ax, ay, az) in comps])      # [ncart, ns, npts]
+        T = jnp.asarray(cart2sph(l))                    # [nsph, ncart]
+        val = jnp.einsum("mc,csn,sn->msn", T, M, R0)    # [nsph, ns, npts]
 
-        cols = (g.ao_start[:, None] + np.arange(nsph(l))).ravel()
-        planes[0] = planes[0].at[:, cols].set(val.reshape(npts, -1))
+        cols = (g.ao_start[:, None] + np.arange(nsph(l)))  # [ns, nsph]
+        rows = cols.T.ravel()                           # [nsph*ns]
+        planes[0] = planes[0].at[rows].set(
+            val.reshape(-1, npts))
 
         if deriv >= 1:
-            R1 = jnp.einsum("sp,sp,nsp->ns", jnp.asarray(g.coefs),
-                            jnp.asarray(g.exps), ex)
+            R1 = jnp.einsum("sp,sp,spn->sn", coefs, exps, ex)
             for dd in range(3):
                 dmons = []
                 for (ax, ay, az) in comps:
@@ -61,14 +66,16 @@ def eval_ao(basis: BasisSet, coords, pts, deriv: int = 0):
                         pws[dd] -= 1
                         dmons.append(pw * x ** pws[0] * y ** pws[1]
                                      * z ** pws[2])
-                dM = jnp.stack(dmons, axis=-1)
-                dval = jnp.einsum("ns,nsc,mc->nsm", R0, dM, T) \
-                    - 2.0 * jnp.einsum("ns,ns,nsc,mc->nsm", R1, d[..., dd],
-                                       M, T)
-                planes[1 + dd] = planes[1 + dd].at[:, cols].set(
-                    dval.reshape(npts, -1))
+                dM = jnp.stack(dmons)
+                dval = jnp.einsum("mc,csn,sn->msn", T, dM, R0) \
+                    - 2.0 * jnp.einsum("mc,csn,sn,sn->msn", T, M, R1,
+                                       d[:, dd, :])
+                planes[1 + dd] = planes[1 + dd].at[rows].set(
+                    dval.reshape(-1, npts))
 
-    return planes[0] if deriv == 0 else jnp.stack(planes)
+    if deriv == 0:
+        return planes[0].T
+    return jnp.stack([p.T for p in planes])
 
 
 def eval_rho(ao, dm, xctype: str = "LDA"):

@@ -24,14 +24,14 @@ from cctpu.dft.xc import get_functional
 from cctpu.scf.hf import RHF, UHF, SCFBase
 
 
-def _chunk_aos(ao, w, chunk: int):
-    """Pad and reshape AO/weight arrays into fixed-size chunks."""
-    nderiv, npts, nao = ao.shape
+def _chunk_pts(pts, w, chunk: int):
+    """Pad and reshape grid points/weights into fixed-size chunks (padding
+    points go to a far-away location with zero weight)."""
+    npts = pts.shape[0]
     npad = (-npts) % chunk
-    ao = jnp.pad(ao, ((0, 0), (0, npad), (0, 0)))
+    pts = jnp.pad(pts, ((0, npad), (0, 0)), constant_values=1e6)
     w = jnp.pad(w, (0, npad))
-    return (ao.reshape(nderiv, -1, chunk, nao).swapaxes(0, 1),
-            w.reshape(-1, chunk))
+    return pts.reshape(-1, chunk, 3), w.reshape(-1, chunk)
 
 
 class _XCMixin:
@@ -44,32 +44,32 @@ class _XCMixin:
     def _setup_xc(self):
         self.func = get_functional(self.xc)
         if self.func.xctype == "HF":
-            self._exc_chunks = None
             return
         grids = Grids(self.mol, level=self.grid_level)
         pts, w = grids.build(self.coords)
-        deriv = 0 if self.func.xctype == "LDA" else 1
-        ao = eval_ao(self.mol.basis_set, self.coords, pts, deriv=max(deriv, 1))
         self.grids = grids
-        self._ao_chunks, self._w_chunks = _chunk_aos(ao, w, self.grid_chunk)
+        self._pts_chunks, self._w_chunks = _chunk_pts(pts, w,
+                                                      self.grid_chunk)
 
     def _exc_total(self, dm):
         """E_xc[D] on the cached grid (fixed geometry)."""
-        return self._exc_with(dm, self._ao_chunks, self._w_chunks)
+        return self._exc_with(dm, self.coords, self._pts_chunks,
+                              self._w_chunks)
 
     def exc_of_coords(self, coords, dm):
         """E_xc[D] rebuilt at arbitrary coords (differentiable — used by
         the nuclear-gradient path; includes grid-weight derivatives)."""
         pts, w = self.grids.build(coords)
-        ao = eval_ao(self.mol.basis_set, coords, pts, deriv=1)
-        ao_c, w_c = _chunk_aos(ao, w, self.grid_chunk)
-        return self._exc_with(dm, ao_c, w_c)
+        pts_c, w_c = _chunk_pts(pts, w, self.grid_chunk)
+        return self._exc_with(dm, coords, pts_c, w_c)
 
-    def _exc_with(self, dm, ao_chunks, w_chunks):
+    def _exc_with(self, dm, coords, pts_chunks, w_chunks):
         func = self.func
+        basis = self.mol.basis_set
         restricted = dm.ndim == 2
 
-        def chunk_exc(ao, w):
+        def chunk_exc(pts, w):
+            ao = eval_ao(basis, coords, pts, deriv=1)
             a0 = ao[0]
             if restricted:
                 Dh = 0.5 * dm
@@ -110,10 +110,10 @@ class _XCMixin:
             return jnp.sum(w * e)
 
         def body(acc, chunk):
-            ao, w = chunk
-            return acc + chunk_exc(ao, w), None
+            pts, w = chunk
+            return acc + chunk_exc(pts, w), None
 
-        total, _ = jax.lax.scan(body, 0.0, (ao_chunks, w_chunks))
+        total, _ = jax.lax.scan(body, 0.0, (pts_chunks, w_chunks))
         return total
 
 
