@@ -61,62 +61,45 @@ class TDDFT:
         exc_total = mf._exc_total if self.has_xc else None
         Co, Cv = self.Co, self.Cv
         ax = self.ax
+        ediag = (jnp.asarray(self.ev)[None, :] - jnp.asarray(self.eo)[:, None])
 
-        def contract(P, sym_factor):
-            """V = 2J(P) - ax K(P) + fxc[P + P^T]; returns occ x vir block."""
-            Ps = P + sym_factor * P.T
-            J, K = jk(Ps, with_k=bool(ax))
-            V = 2.0 * J if self.singlet else 0.0 * J
+        def contract(P, mode):
+            """Orbital-Hessian action, occ x vir block.
+
+            TDA  : V = 2 J(P)  - ax K(P)  + 2 fxc[P]        (P = Co X Cv^T)
+            A+B  : same with P -> P + P^T
+            A-B  : V = -ax K(P - P^T)   (J/fxc of antisymmetric density = 0)
+            The factor 2 on J/fxc is the singlet spin sum; fxc is the jvp of
+            the AD vxc of E_xc[D_total], whose Hessian is half the singlet
+            kernel (see derivation in tests/test_tddft.py).
+            """
+            if mode == "apb":
+                P = P + P.T
+            elif mode == "amb":
+                P = P - P.T
+            V = 0.0
+            if self.singlet and mode != "amb":
+                V = V + 2.0 * jk(P, with_k=False)[0]
             if ax:
-                # exchange acts on the unsymmetrized transition density
-                _, Kp = jk(P, with_k=True)
-                _, Kt = (jk(P.T, with_k=True) if sym_factor else (None, 0.0))
-                V = V - ax * (Kp + sym_factor * (Kt if sym_factor else 0.0))
-                # use J from symmetrized (linear, so equivalent)
-                V = 2.0 * jk(Ps, with_k=False)[0] - ax * (
-                    Kp + (sym_factor * Kt if sym_factor else 0.0)) \
-                    if self.singlet else -ax * (
-                        Kp + (sym_factor * Kt if sym_factor else 0.0))
-            if self.has_xc and self.singlet:
+                V = V - ax * jk(P, with_k=True)[1]
+            if self.has_xc and self.singlet and mode != "amb":
                 _, fxcP = jax.jvp(lambda d: jax.grad(exc_total)(d),
-                                  (self.dm0,), (Ps,))
-                fxcP = 0.5 * (fxcP + fxcP.T)
-                V = V + fxcP
+                                  (self.dm0,), (P,))
+                V = V + (fxcP + fxcP.T)
             return Co.T @ V @ Cv
 
-        @jax.jit
-        def a_matvec_block(Xb):
-            """(A X) for a batch Xb [k, nocc, nvir] (TDA)."""
-            def one(X):
-                P = Co @ X @ Cv.T
-                mo = contract(P, 0.0)
-                return (X * (jnp.asarray(self.ev)[None, :]
-                             - jnp.asarray(self.eo)[:, None])) + mo
-            return jax.vmap(one)(Xb)
+        def make_mv(mode):
+            @jax.jit
+            def mv(Xb):
+                def one(X):
+                    P = Co @ X @ Cv.T
+                    return X * ediag + contract(P, mode)
+                return jax.vmap(one)(Xb)
+            return mv
 
-        @jax.jit
-        def apb_matvec_block(Xb):
-            """(A+B) X — symmetrized transition density."""
-            def one(X):
-                P = Co @ X @ Cv.T
-                mo = contract(P, 1.0)
-                return (X * (jnp.asarray(self.ev)[None, :]
-                             - jnp.asarray(self.eo)[:, None])) + mo
-            return jax.vmap(one)(Xb)
-
-        @jax.jit
-        def amb_matvec_block(Xb):
-            """(A-B) X — antisymmetrized transition density."""
-            def one(X):
-                P = Co @ X @ Cv.T
-                mo = contract(P, -1.0)
-                return (X * (jnp.asarray(self.ev)[None, :]
-                             - jnp.asarray(self.eo)[:, None])) + mo
-            return jax.vmap(one)(Xb)
-
-        self._a_mv = a_matvec_block
-        self._apb_mv = apb_matvec_block
-        self._amb_mv = amb_matvec_block
+        self._a_mv = make_mv("tda")
+        self._apb_mv = make_mv("apb")
+        self._amb_mv = make_mv("amb")
 
     def _mv_flat(self, mv):
         no, nv = self.nocc, self.nvir
