@@ -1,0 +1,270 @@
+"""Determinant FCI for small active spaces (CASSCF/CASCI engine).
+
+Replaces PySCF's C FCI contraction kernels (SURVEY.md §2.2 'PySCF lib C
+helpers') for the CAS sizes the reference exercises (CASSCF(6,6):
+400 determinants). The Hamiltonian is built densely from Slater–Condon
+rules host-side and diagonalized with numpy/scipy — at reference-scale CAS
+dimensions this is milliseconds; the TPU path matters for the integral
+transforms feeding it, not the CI solve itself.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def make_strings(norb: int, nelec: int) -> List[Tuple[int, ...]]:
+    return list(itertools.combinations(range(norb), nelec))
+
+
+def _excitation(s1, s2):
+    """Return (degree, info) between two same-spin strings.
+
+    degree 0: (); degree 1: (p, q, sign) meaning s2 = a_q^+ a_p s1? —
+    convention: orbital p in s1 replaced by q in s2.
+    degree 2: (p1,p2,q1,q2,sign). None if degree > 2.
+    """
+    o1 = set(s1)
+    o2 = set(s2)
+    rm = sorted(o1 - o2)
+    ad = sorted(o2 - o1)
+    if len(rm) == 0:
+        return 0, ()
+    if len(rm) == 1:
+        p, q = rm[0], ad[0]
+        # sign: parity of permutation to align
+        i1 = s1.index(p)
+        i2 = s2.index(q)
+        sign = (-1) ** (i1 + i2)
+        return 1, (p, q, sign)
+    if len(rm) == 2:
+        p1, p2 = rm
+        q1, q2 = ad
+        i1, i2 = s1.index(p1), s1.index(p2)
+        j1, j2 = s2.index(q1), s2.index(q2)
+        sign = (-1) ** (i1 + i2 + j1 + j2)
+        return 2, (p1, p2, q1, q2, sign)
+    return 3, None
+
+
+class FCISolver:
+    """Dense FCI; fcisolver API shape of PySCF (nroots, spin_square)."""
+
+    def __init__(self, norb: int, nelec: Tuple[int, int], nroots: int = 1,
+                 max_dim: int = 12000):
+        self.norb = norb
+        if isinstance(nelec, int):
+            nb = nelec // 2
+            na = nelec - nb
+            nelec = (na, nb)
+        self.nelec = nelec
+        self.nroots = nroots
+        self.sa = make_strings(norb, nelec[0])
+        self.sb = make_strings(norb, nelec[1])
+        self.dim = len(self.sa) * len(self.sb)
+        if self.dim > max_dim:
+            raise ValueError(
+                f"FCI dimension {self.dim} exceeds dense limit {max_dim}")
+
+    # -- Hamiltonian build ---------------------------------------------------
+    def build_h(self, h1: np.ndarray, eri: np.ndarray) -> np.ndarray:
+        """eri in chemist notation (pq|rs), [n,n,n,n]; h1 [n,n]."""
+        sa, sb = self.sa, self.sb
+        na, nb = len(sa), len(sb)
+        H = np.zeros((na, nb, na, nb))
+
+        # precompute same-spin excitation tables
+        def tables(strings):
+            n = len(strings)
+            diag1 = []
+            singles = []   # (I, J, p, q, sign)
+            doubles = []   # (I, J, p1,p2,q1,q2, sign)
+            for I in range(n):
+                for J in range(n):
+                    deg, info = _excitation(strings[I], strings[J])
+                    if deg == 1:
+                        singles.append((I, J) + info)
+                    elif deg == 2:
+                        doubles.append((I, J) + info)
+            return singles, doubles
+
+        sing_a, dbl_a = tables(sa)
+        sing_b, dbl_b = tables(sb)
+
+        J2 = eri          # (pq|rs)
+        # diagonal
+        for I, a in enumerate(sa):
+            for Jb, b in enumerate(sb):
+                e = sum(h1[p, p] for p in a) + sum(h1[p, p] for p in b)
+                for p in a:
+                    for q in a:
+                        e += 0.5 * (J2[p, p, q, q] - J2[p, q, q, p])
+                for p in b:
+                    for q in b:
+                        e += 0.5 * (J2[p, p, q, q] - J2[p, q, q, p])
+                for p in a:
+                    for q in b:
+                        e += J2[p, p, q, q]
+                H[I, Jb, I, Jb] = e
+
+        # alpha singles (beta diagonal)
+        for (I, J, p, q, sg) in sing_a:
+            base = h1[p, q]
+            for Jb, b in enumerate(sb):
+                e = base
+                for r in sa[I]:
+                    if r != p:
+                        e += J2[p, q, r, r] - J2[p, r, r, q]
+                for r in b:
+                    e += J2[p, q, r, r]
+                H[I, Jb, J, Jb] += sg * e
+        # beta singles
+        for (I, J, p, q, sg) in sing_b:
+            base = h1[p, q]
+            for Ia, a in enumerate(sa):
+                e = base
+                for r in sb[I]:
+                    if r != p:
+                        e += J2[p, q, r, r] - J2[p, r, r, q]
+                for r in a:
+                    e += J2[p, q, r, r]
+                H[Ia, I, Ia, J] += sg * e
+        # same-spin doubles
+        for (I, J, p1, p2, q1, q2, sg) in dbl_a:
+            v = sg * (J2[p1, q1, p2, q2] - J2[p1, q2, p2, q1])
+            H[I, :, J, :] += v * np.eye(nb)
+        for (I, J, p1, p2, q1, q2, sg) in dbl_b:
+            v = sg * (J2[p1, q1, p2, q2] - J2[p1, q2, p2, q1])
+            H[:, I, :, J] += v * np.eye(na)
+        # opposite-spin doubles: alpha single x beta single
+        for (Ia, Ja, p, q, sga) in sing_a:
+            for (Ib, Jb, r, s, sgb) in sing_b:
+                H[Ia, Ib, Ja, Jb] += sga * sgb * J2[p, q, r, s]
+
+        return H.reshape(self.dim, self.dim)
+
+    def kernel(self, h1, eri, ecore: float = 0.0):
+        H = self.build_h(h1, eri)
+        w, V = np.linalg.eigh(H)
+        nr = self.nroots
+        self.e = w[:nr] + ecore
+        self.ci = [V[:, k].reshape(len(self.sa), len(self.sb))
+                   for k in range(nr)]
+        if nr == 1:
+            return self.e[0], self.ci[0]
+        return self.e, self.ci
+
+    # -- density matrices ----------------------------------------------------
+    def make_rdm1(self, ci, norb=None):
+        norb = norb or self.norb
+        sa, sb = self.sa, self.sb
+        dm = np.zeros((norb, norb))
+        for I, a in enumerate(sa):
+            for J, b in enumerate(sb):
+                c = ci[I, J]
+                for p in a:
+                    dm[p, p] += c * c
+                for p in b:
+                    dm[p, p] += c * c
+        for I in range(len(sa)):
+            for J in range(len(sa)):
+                deg, info = _excitation(sa[I], sa[J])
+                if deg == 1:
+                    p, q, sg = info
+                    dm[p, q] += sg * np.dot(ci[I, :], ci[J, :])
+        for I in range(len(sb)):
+            for J in range(len(sb)):
+                deg, info = _excitation(sb[I], sb[J])
+                if deg == 1:
+                    p, q, sg = info
+                    dm[p, q] += sg * np.dot(ci[:, I], ci[:, J])
+        return dm
+
+    def _apply_Epq(self, vec, p, q):
+        """E_pq |vec> = (a^+_pa a_qa + a^+_pb a_qb)|vec>."""
+        if not hasattr(self, "_index_a"):
+            self._index_a = {s: i for i, s in enumerate(self.sa)}
+            self._index_b = {s: i for i, s in enumerate(self.sb)}
+        out = np.zeros_like(vec)
+        for I, a in enumerate(self.sa):
+            if q not in a:
+                continue
+            if p == q:
+                out[I, :] += vec[I, :]
+                continue
+            if p in a:
+                continue
+            new = tuple(sorted(set(a) - {q} | {p}))
+            _, (_, _, sg) = _excitation(a, new)
+            out[self._index_a[new], :] += sg * vec[I, :]
+        for I, b in enumerate(self.sb):
+            if q not in b:
+                continue
+            if p == q:
+                out[:, I] += vec[:, I]
+                continue
+            if p in b:
+                continue
+            new = tuple(sorted(set(b) - {q} | {p}))
+            _, (_, _, sg) = _excitation(b, new)
+            out[:, self._index_b[new]] += sg * vec[:, I]
+        return out
+
+    def make_rdm12(self, ci, norb=None):
+        """(dm1, dm2), dm2 chemist: Gamma[p,q,r,s] = <E_pq E_rs>
+        - delta_qr <E_ps>, so E_2e = 1/2 sum (pq|rs) Gamma_pqrs."""
+        n = norb or self.norb
+        dm1 = self.make_rdm1(ci, n)
+        Evec = {(p, q): self._apply_Epq(ci, p, q)
+                for p in range(n) for q in range(n)}
+        raw = np.zeros((n, n, n, n))
+        for p in range(n):
+            for q in range(n):
+                for r in range(n):
+                    for s in range(n):
+                        # <0|E_pq E_rs|0> = <E_qp 0|E_rs 0>
+                        raw[p, q, r, s] = np.sum(Evec[(q, p)] * Evec[(r, s)])
+        G = raw - np.einsum("qr,ps->pqrs", np.eye(n), dm1)
+        return dm1, G
+
+    def spin_square(self, ci, norb=None, nelec=None):
+        """<S^2> via S_z(S_z+1) + <S_- S_+>."""
+        na, nb = self.nelec
+        sz = 0.5 * (na - nb)
+        self._index_a = {s: i for i, s in enumerate(self.sa)}
+        self._index_b = {s: i for i, s in enumerate(self.sb)}
+        # S+ = sum_p a_pa^+ a_pb ; build S+|ci> in (na+1, nb-1) sector
+        if nb == 0:
+            s2 = sz * sz + sz
+            return float(s2), 2 * math.sqrt(float(s2) + 0.25)
+        sa2 = make_strings(self.norb, na + 1)
+        sb2 = make_strings(self.norb, nb - 1)
+        ia2 = {s: i for i, s in enumerate(sa2)}
+        ib2 = {s: i for i, s in enumerate(sb2)}
+        out = np.zeros((len(sa2), len(sb2)))
+        for I, a in enumerate(self.sa):
+            for J, b in enumerate(self.sb):
+                c = ci[I, J]
+                if c == 0.0:
+                    continue
+                for p in b:
+                    if p in a:
+                        continue
+                    # remove p from beta (sign over preceding beta occ)
+                    jb = b.index(p)
+                    bnew = tuple(x for x in b if x != p)
+                    sgn_b = (-1) ** jb
+                    # add p to alpha
+                    anew = tuple(sorted(a + (p,)))
+                    ja = anew.index(p)
+                    sgn_a = (-1) ** ja
+                    out[ia2[anew], ib2[bnew]] += c * sgn_a * sgn_b
+        # <S^2> = Sz(Sz+1) + <S_- S_+> = Sz(Sz+1) + |S_+ psi|^2
+        sp2 = np.sum(out * out)
+        s2 = sz * (sz + 1) + sp2
+        mult = 2 * math.sqrt(s2 + 0.25)
+        return float(s2), float(mult)
