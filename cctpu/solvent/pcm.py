@@ -1,0 +1,197 @@
+"""C-PCM implicit solvation.
+
+Replaces pyscf.solvent.PCM as the reference drives it
+(templates/calculate_solvent_effect.py:101-134: ``mf = PCM(mf);
+mf.eps = eps``). Conductor-like PCM with a van-der-Waals cavity discretized
+per atom by the same product angular grids as the DFT module, smooth
+(switching-function) removal of buried points so the solvation energy stays
+differentiable, and the Fock contribution obtained — like XC — as jax.grad
+of the scalar E_solv[D]. The 12-solvent dielectric table mirrors the
+reference's SOLVENT_PARAMS (calculate_solvent_effect.py:22-35).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cctpu.core import elements as elem
+from cctpu.core.constants import ANG2BOHR
+from cctpu.dft.grids import angular_product
+from cctpu.ints.md import e3_components, r_box
+from cctpu.core.basis import cart2sph, ncart, nsph
+
+SOLVENT_PARAMS = {
+    "water": 78.39, "methanol": 32.70, "ethanol": 24.55,
+    "acetone": 20.70, "acetonitrile": 36.64, "dmso": 46.70,
+    "dichloromethane": 8.93, "chloroform": 4.81, "thf": 7.58,
+    "toluene": 2.38, "benzene": 2.27, "hexane": 1.88,
+}
+
+# UFF-ish vdW radii (Angstrom) scaled by 1.2 (standard PCM cavity)
+_VDW = {1: 1.20, 6: 1.70, 7: 1.55, 8: 1.52, 9: 1.47, 15: 1.80, 16: 1.80,
+        17: 1.75, 35: 1.85, 53: 1.98}
+
+
+def potential_integrals(basis, coords, points, chunk: int = 256):
+    """(mu nu | 1/|r - P|) for external points: [npts, nao, nao].
+
+    Same McMurchie–Davidson machinery as nuclear attraction, with the
+    charge centers replaced by surface points.
+    """
+    from cctpu.ints.one_electron import _nuclear_block  # reuse internals
+    import numpy as onp
+
+    npts = points.shape[0]
+    nao = basis.nao
+    out = jnp.zeros((npts, nao + 1, nao + 1))
+    ls = sorted(basis.groups)
+    for la in ls:
+        ga = basis.groups[la]
+        for lb in ls:
+            if lb < la:
+                continue
+            gb = basis.groups[lb]
+            nA, nB = len(ga.shell_idx), len(gb.shell_idx)
+            ia, ib = onp.mgrid[0:nA, 0:nB]
+            ia, ib = ia.ravel(), ib.ravel()
+            if la == lb:
+                keep = ia <= ib
+                ia, ib = ia[keep], ib[keep]
+            npad = (-len(ia)) % 32
+            pad = onp.concatenate([onp.zeros(len(ia), bool),
+                                   onp.ones(npad, bool)])
+            ia = onp.concatenate([ia, onp.zeros(npad, onp.int64)])
+            ib = onp.concatenate([ib, onp.zeros(npad, onp.int64)])
+
+            def blk(ea, ca, A, eb, cb, B):
+                # like _nuclear_block but per-point (no charge sum, sign +)
+                a = ea[:, None]
+                b = eb[None, :]
+                p = a + b
+                coef = ca[:, None] * cb[None, :]
+                P = (a[..., None] * A + b[..., None] * B) / p[..., None]
+                ltot = la + lb
+                E3 = e3_components(la, lb, a, b, A, B)
+                PC = P[:, :, None, :] - points[None, None, :, :]
+                R = r_box(ltot, p[..., None], PC)
+                pref = (2.0 * math.pi / p) * coef
+                V = jnp.einsum("pqcx,pq,pqnx->nc", E3, pref, R)
+                V = V.reshape(npts, ncart(la), ncart(lb))
+                Ta = jnp.asarray(cart2sph(la))
+                Tb = jnp.asarray(cart2sph(lb))
+                return jnp.einsum("ac,ncd,bd->nab", Ta, V, Tb)
+
+            blks = jax.vmap(blk)(jnp.asarray(ga.exps[ia]),
+                                 jnp.asarray(ga.coefs[ia]),
+                                 coords[ga.atom_idx[ia]],
+                                 jnp.asarray(gb.exps[ib]),
+                                 jnp.asarray(gb.coefs[ib]),
+                                 coords[gb.atom_idx[ib]])
+            rows = ga.ao_start[ia][:, None] + onp.arange(nsph(la))
+            cols = gb.ao_start[ib][:, None] + onp.arange(nsph(lb))
+            rows = onp.where(pad[:, None], nao, rows)
+            cols = onp.where(pad[:, None], nao, cols)
+            r_i = rows[:, None, :, None]
+            c_i = cols[:, None, None, :]
+            n_i = onp.arange(npts)[None, :, None, None]
+            out = out.at[n_i, r_i, c_i].set(blks)
+            out = out.at[n_i, c_i.swapaxes(2, 3), r_i.swapaxes(2, 3)].set(
+                jnp.swapaxes(blks, 2, 3))
+    return out[:, :nao, :nao]
+
+
+class PCMModel:
+    def __init__(self, mol, eps: float = 78.39, n_ang: int = 17,
+                 scale: float = 1.2):
+        self.mol = mol
+        self.eps = eps
+        Z = mol.charges.astype(int)
+        u, wa = angular_product(n_ang)           # unit sphere, sum w = 4 pi
+        pts_list, w_list, atom_of = [], [], []
+        radii = np.array([_VDW.get(int(z), 1.8) * scale * ANG2BOHR
+                          for z in Z])
+        for ia in range(mol.natm):
+            R = radii[ia]
+            pts_list.append(u * R)
+            w_list.append(wa * R * R)            # point areas
+            atom_of.append(np.full(len(u), ia))
+        self.template = np.concatenate(pts_list)
+        self.areas0 = np.concatenate(w_list)
+        self.atom_of = np.concatenate(atom_of)
+        self.radii = radii
+
+    def f_eps(self):
+        return (self.eps - 1.0) / self.eps
+
+    def cavity(self, coords):
+        """Surface points + smoothly switched areas (differentiable)."""
+        pts = jnp.asarray(self.template) + coords[self.atom_of]
+        # smooth switching: scale area by prod over other atoms of
+        # sigmoid((|r - R_j| - a_j)/w)
+        w = 0.2
+        d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :], axis=-1)
+        inside = jax.nn.sigmoid((d - jnp.asarray(self.radii)[None, :]) / w)
+        other = jnp.asarray(self.atom_of)[:, None] != jnp.arange(
+            self.mol.natm)[None, :]
+        sw = jnp.prod(jnp.where(other, inside, 1.0), axis=1)
+        return pts, jnp.asarray(self.areas0) * sw
+
+    def energy(self, coords, dm, v_ints=None):
+        """E_solv[D] (differentiable in dm and coords)."""
+        pts, areas = self.cavity(coords)
+        keep = areas > 1e-8  # static-ish; areas traced -> use soft weights
+        # S matrix (COSMO collocation): off-diag 1/r, diag 1.0694*sqrt(4pi/a)
+        rij = jnp.linalg.norm(pts[:, None, :] - pts[None, :, :]
+                              + 1e-30, axis=-1)
+        n = pts.shape[0]
+        Smat = jnp.where(jnp.eye(n, dtype=bool), 0.0, 1.0 / (rij + 1e-30))
+        diag = 1.0694 * jnp.sqrt(4.0 * math.pi / jnp.maximum(areas, 1e-10))
+        Smat = Smat + jnp.diag(diag)
+        # weight matrix formulation with areas folded into charges:
+        # solve (S) q = -f V  on area-weighted charges
+        Dtot = dm[0] + dm[1] if dm.ndim == 3 else dm
+        if v_ints is None:
+            v_ints = potential_integrals(self.mol.basis_set, coords, pts)
+        V_el = -jnp.einsum("nij,ij->n", v_ints, Dtot)
+        Zs = jnp.asarray(self.mol.charges)
+        dnuc = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :], axis=-1)
+        V_nuc = jnp.sum(Zs[None, :] / (dnuc + 1e-30), axis=1)
+        V = V_el + V_nuc
+        # zero-out buried points via area weighting of the interaction
+        aw = jnp.sqrt(jnp.maximum(areas / (4 * math.pi), 0.0))
+        # scaled system: q' on weighted basis
+        Sw = Smat * aw[:, None] * aw[None, :]
+        Sw = Sw + jnp.eye(n) * 1e-10
+        Vw = V * aw
+        qw = -self.f_eps() * jnp.linalg.solve(Sw, Vw)
+        return 0.5 * jnp.dot(qw, Vw)
+
+
+def PCM(mf, eps: float = 78.39, solvent: Optional[str] = None):
+    """Wrap a (not-yet-run) SCF object with C-PCM solvation."""
+    if solvent is not None:
+        eps = SOLVENT_PARAMS[solvent.lower()]
+    model = PCMModel(mf.mol, eps=eps)
+    mf._pcm = model
+    pts, areas = model.cavity(mf.coords)
+    v_ints = potential_integrals(mf.mol.basis_set, mf.coords, pts)
+    orig_get_veff = mf.get_veff
+
+    def exp_energy(dm):
+        return model.energy(mf.coords, dm, v_ints=v_ints)
+
+    def get_veff(dm):
+        veff, e2 = orig_get_veff(dm)
+        e_s = exp_energy(dm)
+        v_s = jax.grad(exp_energy)(dm)
+        v_s = 0.5 * (v_s + jnp.swapaxes(v_s, -1, -2))
+        return veff + v_s, e2 + e_s
+
+    mf.get_veff = get_veff
+    mf.with_solvent = model
+    return mf
