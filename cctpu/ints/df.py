@@ -181,6 +181,105 @@ def build_2c2e(aux: BasisSet, coords, omega: Optional[float] = None):
     return out[:naux, :naux]
 
 
+def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
+                     omega: Optional[float] = None) -> np.ndarray:
+    """(P|ab) as host numpy, using the cached per-class jitted kernels."""
+    coords = jnp.asarray(coords)
+    naux, nao = aux.nao, basis.nao
+    out = np.zeros((naux, nao, nao))
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    pcs = pair_classes(basis)
+    for lP in sorted(aux.groups):
+        gP = aux.groups[lP]
+        nP = len(gP.shell_idx)
+        for pc in pcs:
+            ls = (lP, 0, pc.la, pc.lb)
+            vkern = _quartet_vmapped(ls, omega)
+            q1, q2 = np.mgrid[0:nP, 0:pc.n]
+            q1, q2 = q1.ravel(), q2.ravel()
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+            nreal = len(q1)
+            npad = (-nreal) % chunk
+            q1 = np.concatenate([q1, np.zeros(npad, np.int64)])
+            q2 = np.concatenate([q2, np.zeros(npad, np.int64)])
+            sP, sa, sb = nsph(lP), nsph(pc.la), nsph(pc.lb)
+            for s in range(0, len(q1), chunk):
+                s1, s2 = q1[s:s + chunk], q2[s:s + chunk]
+                blocks = np.asarray(vkern(
+                    jnp.asarray(gP.exps[s1]), jnp.asarray(gP.coefs[s1]),
+                    coords[gP.atom_idx[s1]],
+                    de[None, :].repeat(len(s1), 0),
+                    dc[None, :].repeat(len(s1), 0),
+                    coords[gP.atom_idx[s1]],
+                    jnp.asarray(pc.exps_a[s2]), jnp.asarray(pc.coefs_a[s2]),
+                    coords[pc.atom_a[s2]],
+                    jnp.asarray(pc.exps_b[s2]), jnp.asarray(pc.coefs_b[s2]),
+                    coords[pc.atom_b[s2]],
+                ))[:, :, 0, :, :]
+                nq = min(chunk, nreal - s)
+                for t in range(max(nq, 0)):
+                    P0 = gP.ao_start[s1[t]]
+                    A0 = pc.ao_a[s2[t]]
+                    B0 = pc.ao_b[s2[t]]
+                    blk = blocks[t]
+                    out[P0:P0+sP, A0:A0+sa, B0:B0+sb] = blk
+                    out[P0:P0+sP, B0:B0+sb, A0:A0+sa] = \
+                        blk.transpose(0, 2, 1)
+    return out
+
+
+def build_2c2e_eager(aux: BasisSet, coords,
+                     omega: Optional[float] = None) -> np.ndarray:
+    coords = jnp.asarray(coords)
+    naux = aux.nao
+    out = np.zeros((naux, naux))
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    ls_sorted = sorted(aux.groups)
+    for i, lP in enumerate(ls_sorted):
+        gP = aux.groups[lP]
+        for lQ in ls_sorted[i:]:
+            gQ = aux.groups[lQ]
+            nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
+            q1, q2 = np.mgrid[0:nP, 0:nQ]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if lP == lQ:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+            ls = (lP, 0, lQ, 0)
+            vkern = _quartet_vmapped(ls, omega)
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 gQ.exps.shape[1], 1)
+            nreal = len(q1)
+            npad = (-nreal) % chunk
+            q1 = np.concatenate([q1, np.zeros(npad, np.int64)])
+            q2 = np.concatenate([q2, np.zeros(npad, np.int64)])
+            sP, sQ = nsph(lP), nsph(lQ)
+            for s in range(0, len(q1), chunk):
+                s1, s2 = q1[s:s + chunk], q2[s:s + chunk]
+                blocks = np.asarray(vkern(
+                    jnp.asarray(gP.exps[s1]), jnp.asarray(gP.coefs[s1]),
+                    coords[gP.atom_idx[s1]],
+                    de[None, :].repeat(len(s1), 0),
+                    dc[None, :].repeat(len(s1), 0),
+                    coords[gP.atom_idx[s1]],
+                    jnp.asarray(gQ.exps[s2]), jnp.asarray(gQ.coefs[s2]),
+                    coords[gQ.atom_idx[s2]],
+                    de[None, :].repeat(len(s2), 0),
+                    dc[None, :].repeat(len(s2), 0),
+                    coords[gQ.atom_idx[s2]],
+                ))[:, :, 0, :, 0]
+                nq = min(chunk, nreal - s)
+                for t in range(max(nq, 0)):
+                    P0 = gP.ao_start[s1[t]]
+                    Q0 = gQ.ao_start[s2[t]]
+                    out[P0:P0+sP, Q0:Q0+sQ] = blocks[t]
+                    out[Q0:Q0+sQ, P0:P0+sP] = blocks[t].T
+    return out
+
+
 class DFJK:
     """Density-fitted J/K builder.
 
@@ -189,11 +288,23 @@ class DFJK:
       K(D)  = einsum('pik,kl,pjl->ij', B, D, B).
     """
 
-    def __init__(self, mol, coords=None, beta: float = 2.0):
+    def __init__(self, mol, coords=None, beta: float = 1.8):
         basis = mol.basis_set
         self.aux = autoaux(basis, beta=beta)
         c = jnp.asarray(mol.coords if coords is None else coords)
-        self.B = jax.jit(lambda x: self._build_B(basis, x))(c)
+        # Eager per-class assembly: each quartet-class kernel is a small,
+        # persistently-cached XLA module (one giant traced module makes the
+        # TPU compile helper OOM), and the O(naux*nao^2) scatter happens in
+        # host numpy. The differentiable traced builders below remain for
+        # the gradient path.
+        X = build_3c2e_eager(basis, self.aux, c)
+        M = build_2c2e_eager(self.aux, c)
+        w, V = np.linalg.eigh(M)
+        keep = w > 1e-12 * w.max()
+        inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
+        naux, nao = X.shape[0], X.shape[1]
+        B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
+        self.B = jnp.asarray(B.reshape(naux, nao, nao))
 
     def _build_B(self, basis, coords):
         X = build_3c2e(basis, self.aux, coords)

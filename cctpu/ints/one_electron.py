@@ -142,6 +142,94 @@ def _to_sph(block_cart, la: int, lb: int):
     return jnp.einsum("ac,...cd,bd->...ab", Ta, block_cart, Tb)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _pair_st_fn(la: int, lb: int):
+    def st(ea, ca, A, eb, cb, B):
+        s, t = _overlap_kinetic_block(la, lb, ea, ca, A, eb, cb, B)
+        return _to_sph(s, la, lb), _to_sph(t, la, lb)
+    return jax.jit(jax.vmap(st))
+
+
+@lru_cache(maxsize=None)
+def _pair_v_fn(la: int, lb: int):
+    def v(ea, ca, A, eb, cb, B, coords, charges):
+        return _to_sph(_nuclear_block(la, lb, ea, ca, A, eb, cb, B,
+                                      coords, charges), la, lb)
+    return jax.jit(jax.vmap(v, in_axes=(0, 0, 0, 0, 0, 0, None, None)))
+
+
+@lru_cache(maxsize=None)
+def _pair_d_fn(la: int, lb: int):
+    def d(ea, ca, A, eb, cb, B, origin):
+        return _to_sph(_dipole_block(la, lb, ea, ca, A, eb, cb, B, origin),
+                       la, lb)
+    return jax.jit(jax.vmap(d, in_axes=(0, 0, 0, 0, 0, 0, None)))
+
+
+def build_int1e_eager(basis: BasisSet, coords, charges,
+                      with_dipole: bool = False, dipole_origin=None):
+    """S/T/V (+dipole) via small cached per-class kernels + host assembly.
+
+    Same results as build_int1e, but never traces one giant module — the
+    TPU remote compiler chokes on the all-classes-in-one-graph scatter
+    (build_int1e stays as the differentiable path for gradients).
+    """
+    coords = jnp.asarray(coords)
+    charges = jnp.asarray(charges)
+    nao = basis.nao
+    S = np.zeros((nao, nao))
+    T = np.zeros((nao, nao))
+    V = np.zeros((nao, nao))
+    D = np.zeros((3, nao, nao)) if with_dipole else None
+    origin = jnp.zeros(3) if dipole_origin is None else \
+        jnp.asarray(dipole_origin)
+
+    ls = sorted(basis.groups)
+    for la in ls:
+        ga = basis.groups[la]
+        for lb in ls:
+            if lb < la:
+                continue
+            gb = basis.groups[lb]
+            nA, nB = len(ga.shell_idx), len(gb.shell_idx)
+            ia, ib = np.mgrid[0:nA, 0:nB]
+            ia, ib = ia.ravel(), ib.ravel()
+            if la == lb:
+                keep = ia <= ib
+                ia, ib = ia[keep], ib[keep]
+            npad = (-len(ia)) % 64
+            nreal = len(ia)
+            ia = np.concatenate([ia, np.zeros(npad, np.int64)])
+            ib = np.concatenate([ib, np.zeros(npad, np.int64)])
+            argsA = (jnp.asarray(ga.exps[ia]), jnp.asarray(ga.coefs[ia]),
+                     coords[ga.atom_idx[ia]])
+            argsB = (jnp.asarray(gb.exps[ib]), jnp.asarray(gb.coefs[ib]),
+                     coords[gb.atom_idx[ib]])
+            sblk, tblk = _pair_st_fn(la, lb)(*argsA, *argsB)
+            vblk = _pair_v_fn(la, lb)(*argsA, *argsB, coords, charges)
+            sblk, tblk, vblk = map(np.asarray, (sblk, tblk, vblk))
+            if with_dipole:
+                dblk = np.asarray(_pair_d_fn(la, lb)(*argsA, *argsB,
+                                                     origin))
+            sa, sb = nsph(la), nsph(lb)
+            for t in range(nreal):
+                r0 = ga.ao_start[ia[t]]
+                c0 = gb.ao_start[ib[t]]
+                for M_, B_ in ((S, sblk), (T, tblk), (V, vblk)):
+                    M_[r0:r0+sa, c0:c0+sb] = B_[t]
+                    M_[c0:c0+sb, r0:r0+sa] = B_[t].T
+                if with_dipole:
+                    D[:, r0:r0+sa, c0:c0+sb] = dblk[t]
+                    D[:, c0:c0+sb, r0:r0+sa] = dblk[t].transpose(0, 2, 1)
+    out = {"S": jnp.asarray(S), "T": jnp.asarray(T), "V": jnp.asarray(V)}
+    if with_dipole:
+        out["dipole"] = jnp.asarray(D)
+    return out
+
+
 def build_int1e(basis: BasisSet, coords, charges,
                 with_dipole: bool = False, dipole_origin=None):
     """S, T, V (and optionally dipole) AO matrices.

@@ -113,10 +113,9 @@ class SCFBase:
     # -- integral setup ------------------------------------------------------
     def build_ints(self):
         if self._ints is None:
-            basis = self.mol.basis_set
-            charges = jnp.asarray(self.mol.charges)
-            self._ints = jax.jit(
-                lambda c: build_int1e(basis, c, charges))(self.coords)
+            from cctpu.ints.one_electron import build_int1e_eager
+            self._ints = build_int1e_eager(self.mol.basis_set, self.coords,
+                                           jnp.asarray(self.mol.charges))
         return self._ints
 
     def get_jk_builder(self):
@@ -204,9 +203,10 @@ class SCFBase:
     def dip_moment(self, unit: str = "Debye"):
         """Dipole moment vector (electronic + nuclear), origin at (0,0,0)."""
         from cctpu.core.constants import AU2DEBYE
-        from cctpu.ints.one_electron import build_int1e
-        ints = build_int1e(self.mol.basis_set, self.coords,
-                           jnp.asarray(self.mol.charges), with_dipole=True)
+        from cctpu.ints.one_electron import build_int1e_eager
+        ints = build_int1e_eager(self.mol.basis_set, self.coords,
+                                 jnp.asarray(self.mol.charges),
+                                 with_dipole=True)
         dm = self.dm
         Dtot = dm[0] + dm[1] if dm.ndim == 3 else dm
         el = -jnp.einsum("dij,ij->d", ints["dipole"], Dtot)
