@@ -133,6 +133,11 @@ class RKS(_XCMixin, RHF):
         if func.hyb:
             veff = veff - 0.5 * func.hyb * K
             e2 = e2 - 0.25 * func.hyb * jnp.einsum("ij,ij->", dm, K)
+        if func.rsh is not None:
+            omega, _, beta = func.rsh
+            Klr = self._jk.k_lr(dm, omega)
+            veff = veff - 0.5 * beta * Klr
+            e2 = e2 - 0.25 * beta * jnp.einsum("ij,ij->", dm, Klr)
         if func.exc is not None:
             exc = self._exc_total(dm)
             vxc = jax.grad(self._exc_total)(dm)
@@ -161,6 +166,11 @@ class UKS(_XCMixin, UHF):
         if func.hyb:
             veff = veff - func.hyb * K
             e2 = e2 - 0.5 * func.hyb * jnp.einsum("sij,sij->", dm, K)
+        if func.rsh is not None:
+            omega, _, beta = func.rsh
+            Klr = self._jk.k_lr(dm, omega)
+            veff = veff - beta * Klr
+            e2 = e2 - 0.5 * beta * jnp.einsum("sij,sij->", dm, Klr)
         if func.exc is not None:
             exc = self._exc_total(dm)
             vxc = jax.grad(self._exc_total)(dm)

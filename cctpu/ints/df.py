@@ -305,6 +305,9 @@ class DFJK:
         naux, nao = X.shape[0], X.shape[1]
         B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
         self.B = jnp.asarray(B.reshape(naux, nao, nao))
+        self._mol = mol
+        self._coords = c
+        self._B_lr = {}
 
     def _build_B(self, basis, coords):
         X = build_3c2e(basis, self.aux, coords)
@@ -328,3 +331,26 @@ class DFJK:
         K = (jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
              if with_k else None)
         return J, K
+
+    def prepare_lr(self, omega: float):
+        self._ensure_lr(omega)
+
+    def k_lr(self, dm, omega: float):
+        """Long-range exchange via attenuated-metric DF:
+        K_lr ~ X_lr M_lr^{-1} X_lr with both factors erf-attenuated."""
+        self._ensure_lr(omega)
+        B = self._B_lr[omega]
+        return jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
+
+    def _ensure_lr(self, omega: float):
+        if omega not in self._B_lr:
+            basis = self._mol.basis_set
+            X = build_3c2e_eager(basis, self.aux, self._coords, omega=omega)
+            M = build_2c2e_eager(self.aux, self._coords, omega=omega)
+            w, V = np.linalg.eigh(M)
+            keep = w > 1e-10 * max(w.max(), 1e-30)
+            inv_sqrt = np.where(keep,
+                                1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
+            naux, nao = X.shape[0], X.shape[1]
+            B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
+            self._B_lr[omega] = jnp.asarray(B.reshape(naux, nao, nao))

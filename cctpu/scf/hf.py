@@ -32,13 +32,26 @@ class IncoreJK:
     """J/K from the full in-core ERI tensor (validation / small systems)."""
 
     def __init__(self, mol: Molecule, coords=None):
-        c = jnp.asarray(mol.coords if coords is None else coords)
-        self.eri = jnp.asarray(build_eri_incore(mol.basis_set, c))
+        self._mol = mol
+        self._coords = jnp.asarray(mol.coords if coords is None else coords)
+        self.eri = jnp.asarray(build_eri_incore(mol.basis_set, self._coords))
+        self._eri_lr = {}
 
     def __call__(self, dm, with_k: bool = True):
         J = jnp.einsum("ijkl,...kl->...ij", self.eri, dm)
         K = jnp.einsum("ikjl,...kl->...ij", self.eri, dm) if with_k else None
         return J, K
+
+    def prepare_lr(self, omega: float):
+        if omega not in self._eri_lr:
+            self._eri_lr[omega] = jnp.asarray(build_eri_incore(
+                self._mol.basis_set, self._coords, omega=omega))
+
+    def k_lr(self, dm, omega: float):
+        """Long-range (erf-attenuated) exchange for RSH functionals.
+        (prepare_lr must run before tracing — the builder is host-side.)"""
+        self.prepare_lr(omega)
+        return jnp.einsum("ikjl,...kl->...ij", self._eri_lr[omega], dm)
 
 
 # ----------------------------------------------------------------------------
@@ -156,6 +169,9 @@ class SCFBase:
         self.get_jk_builder()
 
         dm = jnp.asarray(dm0) if dm0 is not None else self.init_guess_dm()
+        func = getattr(self, "func", None)
+        if func is not None and func.rsh is not None:
+            self._jk.prepare_lr(func.rsh[0])
         e_nuc = float(self.mol.energy_nuc())
         conv_tol_grad = o.conv_tol_grad or max(np.sqrt(o.conv_tol), 1e-7)
 
