@@ -171,11 +171,10 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     if args.mode == "train":
-        train(args)
-    else:
-        if not args.smiles:
-            raise SystemExit("--smiles required for predict")
-        predict(args)
+        return train(args)
+    if not args.smiles:
+        raise SystemExit("--smiles required for predict")
+    return predict(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,92 @@
+"""End-to-end workflow CLI tests (SMILES in -> artifacts out)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_energy_workflow(tmp_path):
+    from cctpu.workflows.calculate_energy import main
+    e = main(["--smiles", "O", "--method", "hf", "--basis", "sto-3g",
+              "--output-dir", str(tmp_path)])
+    assert -76 < e < -74
+    outs = os.listdir(tmp_path)
+    assert any("short_report" in f for f in outs)
+    assert any("log_report" in f for f in outs)
+
+
+def test_smiles_front_end_formulas():
+    from cctpu.io.smiles import parse_smiles
+    cases = {
+        "CC(=O)Oc1ccccc1C(=O)O": "C9H8O4",     # aspirin
+        "CC(C)Cc1ccc(cc1)C(C)C(=O)O": "C13H18O2",   # ibuprofen
+        "c1ccc(cc1)/N=N/c1ccccc1": "C12H10N2",  # azobenzene
+        "c1cc[nH]c1": "C4H5N",
+    }
+    for smi, formula in cases.items():
+        assert parse_smiles(smi).formula() == formula, smi
+
+
+def test_solvent_workflow(tmp_path):
+    from cctpu.workflows.calculate_solvent_effect import main
+    e_gas, e_sol = main(["--smiles", "O", "--method", "hf",
+                         "--basis", "sto-3g", "--solvent", "water",
+                         "--output-dir", str(tmp_path)])
+    assert e_sol < e_gas
+
+
+def test_uv_workflow(tmp_path):
+    from cctpu.workflows.calculate_uv_spectrum import main
+    td = main(["--smiles", "C=O", "--method", "hf", "--basis", "sto-3g",
+               "--nstates", "2", "--tda", "--output-dir", str(tmp_path)])
+    assert (np.array(td.e) > 0).all()
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+def test_ms_pred_train_and_predict(tmp_path):
+    """Tiny synthetic MSP+MOL dataset -> 2-epoch training -> prediction."""
+    # build a few fake records
+    mols = {
+        "ethanol": ("CCO", [(31, 100.0), (45, 60.0), (46, 20.0)]),
+        "acetone": ("CC(C)=O", [(43, 100.0), (58, 30.0)]),
+        "benzene": ("c1ccccc1", [(78, 100.0), (77, 25.0), (51, 20.0)]),
+        "water": ("O", [(18, 100.0), (17, 25.0)]),
+    }
+    for name, (smi, peaks) in mols.items():
+        with open(tmp_path / f"{name}.MSP", "w") as f:
+            f.write(f"Name: {name}\nSMILES: {smi}\n"
+                    f"Num Peaks: {len(peaks)}\n")
+            for mz, it in peaks:
+                f.write(f"{mz} {it}\n")
+    from cctpu.workflows.ms_pred_gcn_eims import main
+    model = str(tmp_path / "model.pkl")
+    main(["--mode", "train", "--data-dir", str(tmp_path),
+          "--model-path", model, "--epochs", "2", "--batch-size", "2",
+          "--hidden", "32", "--max-nodes", "16"])
+    assert os.path.exists(model)
+    spec = main(["--mode", "predict", "--model-path", model,
+                 "--smiles", "CCO"])
+    assert spec.shape == (500,)
+    assert np.isfinite(spec).all()
+
+
+@pytest.mark.slow
+def test_bde_workflow(tmp_path):
+    from cctpu.workflows.calculate_bde import main
+    res = main(["--smiles", "CC", "--method", "hf", "--basis", "sto-3g",
+                "--tier", "mmff", "--limit", "1",
+                "--output-dir", str(tmp_path)])
+    assert len(res) == 1
+    # C-C homolysis of ethane, HF/STO-3G ballpark (no correlation: low)
+    assert 30 < res[0][3] < 150
+
+
+@pytest.mark.slow
+def test_interaction_workflow(tmp_path):
+    from cctpu.workflows.calculate_interaction import main
+    e = main(["--smiles", "O", "--smiles2", "O", "--method", "hf",
+              "--basis", "sto-3g", "--distance", "3.0",
+              "--output-dir", str(tmp_path)])
+    # water dimer HF/STO-3G CP-corrected: attractive, few kcal/mol
+    assert -0.03 < e < 0.01
