@@ -157,7 +157,9 @@ def cosine_similarity(pred, target, eps: float = 1e-8):
 
 def make_optimizer(cfg: GCNConfig, steps_per_epoch: int):
     """AdamW + OneCycle (reference :385-391)."""
-    total = max(1, cfg.epochs * steps_per_epoch)
+    # floor keeps the piecewise-interpolated warmup interval non-degenerate
+    # (transition_steps*pct_start < 1 yields a 0-length segment -> NaN lr)
+    total = max(20, cfg.epochs * steps_per_epoch)
     sched = optax.cosine_onecycle_schedule(
         transition_steps=total, peak_value=cfg.lr, pct_start=0.3,
         div_factor=25.0, final_div_factor=1e4)
