@@ -299,6 +299,61 @@ def _class_chunk(ls, npA, npB, npC, npD, budget: int = 4_000_000) -> int:
     return 1 << (c.bit_length() - 1)
 
 
+def build_eri_traced(basis: BasisSet, coords, omega: Optional[float] = None):
+    """Fully-traced dense (ij|kl) build (differentiable / vmappable).
+
+    Used by the task-batched SCF (parallel/task_batch.py) where a whole
+    batch of geometries runs SCF under one jit sharded over the mesh —
+    small-system path (the scatter-assembled trace compiles slowly for
+    d-heavy bases; production single-geometry paths use the eager builder).
+    """
+    coords = jnp.asarray(coords)
+    nao = basis.nao
+    eri = jnp.zeros((nao + 1, nao + 1, nao + 1, nao + 1))
+    pcs = pair_classes(basis)
+    for i1, p1 in enumerate(pcs):
+        for p2 in pcs[i1:]:
+            same = p1 is p2
+            q1, q2 = np.mgrid[0:p1.n, 0:p2.n]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if same:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+            ls = (p1.la, p1.lb, p2.la, p2.lb)
+            vkern = _quartet_vmapped(ls, omega)
+            blocks = vkern(
+                jnp.asarray(p1.exps_a[q1]), jnp.asarray(p1.coefs_a[q1]),
+                coords[p1.atom_a[q1]],
+                jnp.asarray(p1.exps_b[q1]), jnp.asarray(p1.coefs_b[q1]),
+                coords[p1.atom_b[q1]],
+                jnp.asarray(p2.exps_a[q2]), jnp.asarray(p2.coefs_a[q2]),
+                coords[p2.atom_a[q2]],
+                jnp.asarray(p2.exps_b[q2]), jnp.asarray(p2.coefs_b[q2]),
+                coords[p2.atom_b[q2]],
+            )
+            shp = {"a": nsph(p1.la), "b": nsph(p1.lb),
+                   "c": nsph(p2.la), "d": nsph(p2.lb)}
+            base = {"a": p1.ao_a[q1][:, None] + np.arange(shp["a"]),
+                    "b": p1.ao_b[q1][:, None] + np.arange(shp["b"]),
+                    "c": p2.ao_a[q2][:, None] + np.arange(shp["c"]),
+                    "d": p2.ao_b[q2][:, None] + np.arange(shp["d"])}
+            vax = {"a": 1, "b": 2, "c": 3, "d": 4}
+
+            def ix(name):
+                arr = base[name]
+                new = [arr.shape[0], 1, 1, 1, 1]
+                new[vax[name]] = arr.shape[1]
+                return arr.reshape(new)
+
+            for order in [("a", "b", "c", "d"), ("b", "a", "c", "d"),
+                          ("a", "b", "d", "c"), ("b", "a", "d", "c"),
+                          ("c", "d", "a", "b"), ("d", "c", "a", "b"),
+                          ("c", "d", "b", "a"), ("d", "c", "b", "a")]:
+                eri = eri.at[ix(order[0]), ix(order[1]),
+                             ix(order[2]), ix(order[3])].set(blocks)
+    return eri[:nao, :nao, :nao, :nao]
+
+
 def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None):
     """Full (ij|kl) tensor [nao,nao,nao,nao] as a host numpy array.
 

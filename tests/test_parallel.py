@@ -1,0 +1,60 @@
+"""Multi-device (virtual 8-CPU mesh) sharding tests — SURVEY.md §4's
+prescription for testing pjit/shard_map logic without a TPU pod."""
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from cctpu.core.molecule import Molecule
+from cctpu.parallel.mesh import make_mesh
+from cctpu.parallel.task_batch import batched_rhf, hessian_batched
+from cctpu.scf.hf import RHF
+from cctpu.grad.scf_grad import scf_gradient
+
+WATER = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+
+
+@pytest.fixture(scope="module")
+def water_ref():
+    mol = Molecule.from_atoms(WATER, basis="sto-3g")
+    mf = RHF(mol)
+    e = mf.kernel()
+    return mol, mf, e
+
+
+def test_batched_scf_matches_serial(water_ref):
+    mol, mf, e_ref = water_ref
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("task",))
+    coords = np.stack([mol.coords] * 8)
+    # perturb some geometries
+    coords[1][0, 2] += 0.01
+    coords[2][1, 1] -= 0.02
+    es, dms, _ = batched_rhf(mol, coords, mf.dm, n_cycles=25, mesh=mesh)
+    es = np.asarray(es)
+    assert abs(es[0] - e_ref) < 1e-9
+    # perturbed geometries differ but stay close
+    assert 1e-6 < abs(es[1] - e_ref) < 1e-2
+    # energies for identical geometries agree across devices
+    assert abs(es[0] - es[3]) < 1e-12
+
+
+def test_batched_gradients_match_serial(water_ref):
+    mol, mf, e_ref = water_ref
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("task",))
+    coords = np.stack([mol.coords] * 4)
+    es, dms, grads = batched_rhf(mol, coords, mf.dm, n_cycles=25,
+                                 with_grad=True, mesh=mesh)
+    g_ref = np.array(scf_gradient(mf))
+    assert np.abs(np.asarray(grads)[0] - g_ref).max() < 1e-7
+
+
+def test_hessian_batched_symmetric(water_ref):
+    mol, mf, _ = water_ref
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("task",))
+    H = hessian_batched(mol, mf.dm, mesh=mesh, n_cycles=25)
+    assert H.shape == (9, 9)
+    assert np.abs(H - H.T).max() < 1e-10
+    # translational sum rule: rows sum to ~0 over atoms
+    R = H.reshape(3, 3, 3, 3)
+    assert np.abs(R.sum(axis=0)).max() < 1e-4
