@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cctpu.core import elements as elem
 from cctpu.core.molecule import Molecule
 from cctpu.ints.one_electron import build_int1e
 from cctpu.ints.two_electron import build_eri_incore
@@ -52,6 +53,51 @@ class IncoreJK:
         (prepare_lr must run before tracing — the builder is host-side.)"""
         self.prepare_lr(omega)
         return jnp.einsum("ikjl,...kl->...ij", self._eri_lr[omega], dm)
+
+
+def _minao_guess(mol: Molecule) -> np.ndarray:
+    """SAD density in the molecular basis by projection from STO-3G.
+
+    dm = P S_minao^-1-projected: dm_mol = G D_min G^T with
+    G = S_mol^{-1} S_cross; D_min block-diagonal aufbau occupancies
+    (p shells spherically averaged)."""
+    from cctpu.core.basis import BasisSet, build_basis
+    from cctpu.ints.one_electron import build_int1e_eager
+
+    import copy
+
+    mol_bs = mol.basis_set
+    min_bs = build_basis(mol.element_symbols, mol.coords, "sto-3g")
+    # union basis (deep-copied shells: BasisSet.__init__ rewrites ao_start)
+    union = BasisSet(copy.deepcopy(list(mol_bs.shells))
+                     + copy.deepcopy(list(min_bs.shells)), mol.coords)
+    S_all = np.array(build_int1e_eager(union, jnp.asarray(mol.coords),
+                                       jnp.zeros(mol.natm))["S"])
+    n1 = mol_bs.nao
+    S_mol = S_all[:n1, :n1]
+    S_cross = S_all[:n1, n1:]
+
+    # aufbau occupancies in the minimal basis (H-Ne coverage):
+    # per atom STO-3G AOs are [1s] (H/He) or [1s, 2s, 2px, 2py, 2pz]
+    occ = []
+    for sym, z in zip(mol.element_symbols, mol.charges.astype(int)):
+        nmin = 1 if elem.symbol_to_z(sym) <= 2 else 5
+        if z == 0:              # ghost atom: basis without electrons
+            occ += [0.0] * nmin
+        elif z <= 2:
+            occ += [float(z)]
+        else:
+            s2 = float(min(z - 2, 2))
+            p = float(max(z - 4, 0))
+            occ += [2.0, s2] + [p / 3.0] * 3
+    occ = np.array(occ)
+    G = np.linalg.solve(S_mol, S_cross)
+    dm = (G * occ[None, :]) @ G.T
+    # normalize to the correct electron count
+    ne_now = float(np.einsum("ij,ij->", dm, S_mol))
+    if ne_now > 1e-8:
+        dm *= mol.nelectron / ne_now
+    return dm
 
 
 # ----------------------------------------------------------------------------
@@ -145,8 +191,25 @@ class SCFBase:
         """Effective 2e potential + its energy. HF: J - 0.5K (restricted)."""
         raise NotImplementedError
 
-    def init_guess_dm(self):
-        """Core-Hamiltonian guess (generalized eigensolve of hcore)."""
+    def init_guess_dm(self, kind: str = "minao"):
+        """'minao': superposition of spherically-averaged atomic densities
+        projected from the embedded STO-3G reference basis (the robust
+        default, mirroring PySCF's minao / the reference's
+        init_guess='atom' ladder rung). 'hcore': core-Hamiltonian guess."""
+        if kind == "minao":
+            try:
+                dm = _minao_guess(self.mol)
+                if self.restricted and self.mol.spin == 0:
+                    return jnp.asarray(dm)
+                na, nb = self.mol.nalpha, self.mol.nbeta
+                ne = self.mol.nelectron
+                dma = dm * (na / ne)
+                dmb = dm * (nb / ne)
+                if isinstance(self, RHF):
+                    return jnp.asarray(dm)
+                return jnp.stack([jnp.asarray(dma), jnp.asarray(dmb)])
+            except Exception:
+                pass  # fall through to hcore for uncovered elements
         ints = self.build_ints()
         H = ints["T"] + ints["V"]
         X = _orthogonalizer(ints["S"])
