@@ -23,7 +23,9 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_TINY = 1e-12
+# Cutoff chosen for the TPU f64-emulation (float32-pair) exponent range:
+# intermediates like rho^(-11/3) must stay below ~1e38.
+_TINY = 1e-11
 
 
 def _safe(rho):
@@ -41,6 +43,7 @@ _CX = (3.0 / 4.0) * (3.0 / math.pi) ** (1.0 / 3.0)
 def e_x_slater(ra, rb, *_):
     out = 0.0
     for r in (ra, rb):
+        r = jnp.maximum(r, 0.0)
         m, rs = _safe(r)
         out = out + jnp.where(m, -0.5 * _CX * (2.0 * rs) ** (4.0 / 3.0), 0.0)
     return out
@@ -181,12 +184,20 @@ _CF = 0.3 * (3.0 * math.pi ** 2) ** (2.0 / 3.0)
 
 
 def e_c_lyp(ra, rb, saa, sab, sbb, *_):
+    # clamp: grid roundoff can give tiny NEGATIVE spin densities, and
+    # fractional powers of negatives produce NaNs that leak through the
+    # where-mask under AD
+    ra = jnp.maximum(ra, 0.0)
+    rb = jnp.maximum(rb, 0.0)
     rho = ra + rb
     m, r = _safe(rho)
     sigma = saa + 2 * sab + sbb
     r13 = r ** (-1.0 / 3.0)
     denom = 1.0 + _LYP_D * r13
-    omega = jnp.exp(-_LYP_C * r13) / denom * r ** (-11.0 / 3.0)
+    # log-form: exp(-c r^-1/3) * r^-11/3 overflows the TPU float32-pair
+    # f64 emulation (r^-11/3 ~ 1e44 at rho ~ 1e-12); the fused exponent
+    # stays finite for all masked densities.
+    omega = jnp.exp(-_LYP_C * r13 - (11.0 / 3.0) * jnp.log(r)) / denom
     delta = _LYP_C * r13 + _LYP_D * r13 / denom
     term1 = -_LYP_A * 4.0 / denom * ra * rb / r
     inner = (ra * rb * (2.0 ** (11.0 / 3.0) * _CF *

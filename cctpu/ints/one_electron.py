@@ -208,9 +208,14 @@ def build_int1e_eager(basis: BasisSet, coords, charges,
                      coords[ga.atom_idx[ia]])
             argsB = (jnp.asarray(gb.exps[ib]), jnp.asarray(gb.coefs[ib]),
                      coords[gb.atom_idx[ib]])
+            # Serialize dispatches: the axon remote-compile helper degrades
+            # ~16x when two modules compile concurrently, so block on each
+            # kernel before launching the next.
             sblk, tblk = _pair_st_fn(la, lb)(*argsA, *argsB)
-            vblk = _pair_v_fn(la, lb)(*argsA, *argsB, coords, charges)
-            sblk, tblk, vblk = map(np.asarray, (sblk, tblk, vblk))
+            sblk = np.asarray(sblk)
+            tblk = np.asarray(tblk)
+            vblk = np.asarray(_pair_v_fn(la, lb)(*argsA, *argsB, coords,
+                                                 charges))
             if with_dipole:
                 dblk = np.asarray(_pair_d_fn(la, lb)(*argsA, *argsB,
                                                      origin))
