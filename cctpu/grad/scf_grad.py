@@ -88,6 +88,12 @@ def scf_gradient(mf) -> jnp.ndarray:
         e = e + e2
         if has_xc:
             e = e + mf.exc_of_coords(R, dm)
+        if getattr(mf, "_pcm", None) is not None:
+            # solvation term traced through coords: cavity points follow
+            # the atoms and the switching function is smooth, so in-solvent
+            # geometry optimization gets consistent gradients (reference
+            # PCM-opt path, calculate_solvent_effect.py:116-131)
+            e = e + mf._pcm.energy(R, dm)
         e = e + mol.energy_nuc(R)
         return e
 
