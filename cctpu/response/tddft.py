@@ -54,9 +54,12 @@ class TDDFT:
 
         func = getattr(mf, "func", None)
         self.ax = 1.0 if func is None else func.hyb
+        self.rsh = None if func is None else func.rsh
         self.has_xc = func is not None and func.exc is not None
         self.dm0 = mf.dm
         jk = mf._jk
+        if self.rsh is not None:
+            jk.prepare_lr(self.rsh[0])
 
         exc_total = mf._exc_total if self.has_xc else None
         Co, Cv = self.Co, self.Cv
@@ -82,6 +85,9 @@ class TDDFT:
                 V = V + 2.0 * jk(P, with_k=False)[0]
             if ax:
                 V = V - ax * jk(P, with_k=True)[1]
+            if self.rsh is not None:
+                omega, _, beta = self.rsh
+                V = V - beta * jk.k_lr(P, omega)
             if self.has_xc and self.singlet and mode != "amb":
                 _, fxcP = jax.jvp(lambda d: jax.grad(exc_total)(d),
                                   (self.dm0,), (P,))
