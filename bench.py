@@ -24,7 +24,12 @@ def run_config(name, atoms, basis, grid_level, max_cycle=25):
     from cctpu.scf.hf import _orthogonalizer
 
     mol = Molecule.from_atoms(atoms, basis=basis)
-    mf = RKS(mol, xc="b3lyp", density_fit=True, max_cycle=max_cycle)
+    # conv_tol 1e-8: the v5e f64 emulation (float32 pairs) has a ~1e-9
+    # noise floor on dE; 1e-10 never triggers
+    # mixed precision: f32 MXU-native iterations + f64 polish — the
+    # production fast path (validated to 1e-13 vs pure f64 in tests)
+    mf = RKS(mol, xc="b3lyp", density_fit=True, max_cycle=max_cycle,
+             conv_tol=1e-8, precision="mixed")
     mf.grid_level = grid_level
     mf._setup_xc()
     e = mf.kernel()
@@ -33,23 +38,37 @@ def run_config(name, atoms, basis, grid_level, max_cycle=25):
     S = ints["S"]
     H = ints["T"] + ints["V"]
     X = _orthogonalizer(S)
-    step = jax.jit(mf._make_step(H, S, X))
-    diis = diis_init(mf.opts.diis_space, mf._diis_size(mf.dm))
-    out = step(diis, mf.dm, jnp.asarray(True))
+    f32 = jnp.float32
+    step32 = jax.jit(mf._make_step(H.astype(f32), S.astype(f32),
+                                   _orthogonalizer(S.astype(f32))))
+    diis = diis_init(mf.opts.diis_space, mf._diis_size(mf.dm), dtype=f32)
+    dm32 = mf.dm.astype(f32)
+    out = step32(diis, dm32, jnp.asarray(True))
     out[1].block_until_ready()
-    n_timed = 6
+    n_timed = 8
     t0 = time.time()
     for _ in range(n_timed):
-        out = step(out[0], out[1], jnp.asarray(True))
+        out = step32(out[0], out[1], jnp.asarray(True))
     out[1].block_until_ready()
     per_iter = (time.time() - t0) / n_timed
+
+    step64 = jax.jit(mf._make_step(H, S, X))
+    d64 = diis_init(mf.opts.diis_space, mf._diis_size(mf.dm))
+    o64 = step64(d64, mf.dm, jnp.asarray(True))
+    o64[1].block_until_ready()
+    t0 = time.time()
+    for _ in range(4):
+        o64 = step64(o64[0], o64[1], jnp.asarray(True))
+    o64[1].block_until_ready()
+    per_iter64 = (time.time() - t0) / 4
     return {
-        "metric": f"b3lyp_df_scf_s_per_cycle_{name}",
+        "metric": f"b3lyp_df_scf_s_per_cycle_f32_{name}",
         "value": round(per_iter, 4),
         "unit": "s/cycle",
         "vs_baseline": 0.0,
         "extra": {"e_tot": float(e), "converged": bool(mf.converged),
-                  "nao": int(mol.nao), "basis": basis},
+                  "nao": int(mol.nao), "basis": basis,
+                  "f64_s_per_cycle": round(per_iter64, 4)},
     }
 
 

@@ -52,7 +52,15 @@ class _XCMixin:
                                                       self.grid_chunk)
 
     def _exc_total(self, dm):
-        """E_xc[D] on the cached grid (fixed geometry)."""
+        """E_xc[D] on the cached grid (fixed geometry; follows dm dtype —
+        f32 chunks cached for the mixed-precision fast mode)."""
+        if dm.dtype == jnp.float32:
+            if not hasattr(self, "_pts_chunks32"):
+                self._pts_chunks32 = self._pts_chunks.astype(jnp.float32)
+                self._w_chunks32 = self._w_chunks.astype(jnp.float32)
+                self._coords32 = self.coords.astype(jnp.float32)
+            return self._exc_with(dm, self._coords32, self._pts_chunks32,
+                                  self._w_chunks32)
         return self._exc_with(dm, self.coords, self._pts_chunks,
                               self._w_chunks)
 

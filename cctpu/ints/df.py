@@ -324,8 +324,15 @@ class DFJK:
         B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
         return B.reshape(naux, nao, nao)
 
+    def _cast_B(self, dtype):
+        if dtype == self.B.dtype:
+            return self.B
+        if not hasattr(self, "_B_cast") or self._B_cast.dtype != dtype:
+            self._B_cast = self.B.astype(dtype)
+        return self._B_cast
+
     def __call__(self, dm, with_k: bool = True):
-        B = self.B
+        B = self._cast_B(dm.dtype)
         Jp = jnp.einsum("pij,...ij->...p", B, dm)
         J = jnp.einsum("...p,pij->...ij", Jp, B)
         K = (jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
@@ -339,7 +346,7 @@ class DFJK:
         """Long-range exchange via attenuated-metric DF:
         K_lr ~ X_lr M_lr^{-1} X_lr with both factors erf-attenuated."""
         self._ensure_lr(omega)
-        B = self._B_lr[omega]
+        B = self._B_lr[omega].astype(dm.dtype)
         return jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
 
     def _ensure_lr(self, omega: float):

@@ -20,10 +20,12 @@ class DIISState(NamedTuple):
     head: jnp.ndarray    # scalar int — next write position
 
 
-def diis_init(space: int, size: int) -> DIISState:
+def diis_init(space: int, size: int, dtype=None) -> DIISState:
+    import jax.numpy as _jnp
+    dtype = dtype or _jnp.float64
     return DIISState(
-        focks=jnp.zeros((space, size)),
-        errs=jnp.zeros((space, size)),
+        focks=jnp.zeros((space, size), dtype),
+        errs=jnp.zeros((space, size), dtype),
         count=jnp.zeros((), jnp.int32),
         head=jnp.zeros((), jnp.int32),
     )

@@ -39,9 +39,17 @@ class IncoreJK:
         self._eri_lr = {}
 
     def __call__(self, dm, with_k: bool = True):
-        J = jnp.einsum("ijkl,...kl->...ij", self.eri, dm)
-        K = jnp.einsum("ikjl,...kl->...ij", self.eri, dm) if with_k else None
+        eri = self._cast_eri(dm.dtype)
+        J = jnp.einsum("ijkl,...kl->...ij", eri, dm)
+        K = jnp.einsum("ikjl,...kl->...ij", eri, dm) if with_k else None
         return J, K
+
+    def _cast_eri(self, dtype):
+        if dtype == self.eri.dtype:
+            return self.eri
+        if not hasattr(self, "_eri_cast") or self._eri_cast.dtype != dtype:
+            self._eri_cast = self.eri.astype(dtype)
+        return self._eri_cast
 
     def prepare_lr(self, omega: float):
         if omega not in self._eri_lr:
@@ -143,6 +151,9 @@ class SCFOptions:
     level_shift: float = 0.0
     damp: float = 0.0
     verbose: int = 0
+    # 'f64' | 'mixed' (f32 iterations + f64 polish — the fast TPU mode;
+    # native-f32 MXU math instead of emulated float32-pair f64) | 'f32'
+    precision: str = "f64"
 
 
 class SCFBase:
@@ -238,13 +249,46 @@ class SCFBase:
         e_nuc = float(self.mol.energy_nuc())
         conv_tol_grad = o.conv_tol_grad or max(np.sqrt(o.conv_tol), 1e-7)
 
-        diis = diis_init(o.diis_space, self._diis_size(dm))
+        t0 = time.time()
+        cycle = 0
+        if o.precision in ("mixed", "f32"):
+            # phase 1: native-f32 iterations (MXU speed); the DIIS error
+            # floor in f32 is ~3e-6, plenty to hand a converged-shape
+            # density to the f64 polish
+            f32 = jnp.float32
+            step32 = jax.jit(self._make_step(H.astype(f32), S.astype(f32),
+                                             _orthogonalizer(S.astype(f32))))
+            diis32 = diis_init(o.diis_space, self._diis_size(dm),
+                               dtype=f32)
+            dm32 = dm.astype(f32)
+            e_last = 0.0
+            for cycle in range(o.max_cycle):
+                use_diis = cycle >= o.diis_start
+                diis32, dm32, e_elec, err_norm, mo_e, mo_c = step32(
+                    diis32, dm32, jnp.asarray(use_diis))
+                e_tot = float(e_elec) + e_nuc
+                de = e_tot - e_last
+                if o.verbose >= 2:
+                    print(f"cycle {cycle:3d} [f32]  E = {e_tot:.8f}  "
+                          f"dE = {de: .3e}  |g| = {float(err_norm):.3e}")
+                if abs(de) < 1e-6 and float(err_norm) < 3e-5 and cycle > 0:
+                    break
+                e_last = e_tot
+            dm = dm32.astype(jnp.float64)
+            if o.precision == "f32":
+                self.e_tot = e_tot
+                self.mo_energy = mo_e
+                self.mo_coeff = mo_c
+                self.mo_occ = self._occ(mo_e)
+                self.dm = dm
+                self.converged = True
+                return self.e_tot
 
+        diis = diis_init(o.diis_space, self._diis_size(dm))
         step = jax.jit(self._make_step(H, S, X))
 
         e_last = 0.0
         dm_last = dm
-        t0 = time.time()
         for cycle in range(o.max_cycle):
             dm_in = dm
             if o.damp > 0 and cycle > 0:
