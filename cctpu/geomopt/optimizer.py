@@ -20,7 +20,7 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from cctpu.core.molecule import Molecule
-from cctpu.grad.scf_grad import scf_gradient
+from cctpu.grad.scf_grad import gradient as scf_gradient
 
 
 @dataclasses.dataclass

@@ -38,6 +38,59 @@ def _energy_weighted_dm(mf):
     return (C * w[None, :]) @ C.T
 
 
+def gradient(mf):
+    """Dispatch: eager per-class accumulation on the TPU backend (the
+    remote compiler can't digest the whole Lagrangian as one module),
+    single traced module elsewhere. DF gradients stay traced."""
+    try:
+        import jax as _jax
+        platform = _jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if platform in ("tpu", "axon") and not getattr(mf, "density_fit",
+                                                   False):
+        return jnp.asarray(scf_gradient_eager(mf))
+    return scf_gradient(mf)
+
+
+def scf_gradient_eager(mf) -> np.ndarray:
+    """Nuclear gradient assembled term-by-term with per-class compiled
+    pieces (TPU-friendly: no single giant module; serialized dispatch).
+
+    Same math as scf_gradient; preferred on the axon TPU where one
+    whole-Lagrangian module overwhelms the remote compiler.
+    """
+    from cctpu.ints.two_electron import energy_2e_grad_eager
+
+    mol = mf.mol
+    basis = mol.basis_set
+    charges = jnp.asarray(mol.charges)
+    dm = mf.dm
+    spin_resolved = dm.ndim == 3
+    Dtot = dm[0] + dm[1] if spin_resolved else dm
+    W = _energy_weighted_dm(mf)
+    func = getattr(mf, "func", None)
+    ax = 1.0 if func is None else func.hyb
+    has_xc = func is not None and func.exc is not None
+
+    def one_e(R):
+        ints = build_int1e(basis, R, charges)
+        return (jnp.einsum("ij,ij->", Dtot, ints["T"] + ints["V"])
+                - jnp.einsum("ij,ij->", W, ints["S"]))
+
+    g = np.array(jax.grad(one_e)(jnp.asarray(mol.coords)))
+    g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=ax)
+    if has_xc:
+        g += np.asarray(jax.grad(
+            lambda R: mf.exc_of_coords(R, dm))(jnp.asarray(mol.coords)))
+    if getattr(mf, "_pcm", None) is not None:
+        g += np.asarray(jax.grad(
+            lambda R: mf._pcm.energy(R, dm))(jnp.asarray(mol.coords)))
+    g += np.asarray(jax.grad(
+        lambda R: mol.energy_nuc(R))(jnp.asarray(mol.coords)))
+    return g
+
+
 def scf_gradient(mf) -> jnp.ndarray:
     """Nuclear gradient [natm, 3] of a converged SCF object (RHF/UHF/ROHF/
     RKS/UKS, in-core or DF)."""

@@ -23,7 +23,7 @@ import numpy as np
 from cctpu.core.constants import (AMU2AU, BOHR, HARTREE2WAVENUMBER,
                                   IR_KM_MOL)
 from cctpu.core.molecule import Molecule
-from cctpu.grad.scf_grad import scf_gradient
+from cctpu.grad.scf_grad import gradient as scf_gradient
 
 
 @dataclasses.dataclass

@@ -20,7 +20,7 @@ long-range kernel.
 from __future__ import annotations
 
 import math
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -236,6 +236,117 @@ def energy_2e_direct(basis: BasisSet, coords, dm, k_weight: float = 0.5,
 def _quartet_vmapped_open(ls, omega):
     """Non-jitted vmapped quartet kernel for use inside outer jit traces."""
     return _quartet_vmapped(ls, omega)
+
+
+@lru_cache(maxsize=None)
+def _e2_chunk_grad_fn(ls: Tuple[int, int, int, int], spin_resolved: bool,
+                      k_weight: float, omega):
+    """Cached jitted gradient of one quartet-chunk's 2e energy w.r.t. the
+    full coordinate array. Index arrays are runtime args, so one compile
+    serves every chunk of the class — the eager TPU gradient path."""
+    sa_ = None
+
+    def chunk_energy(coords, Dt, Dks, mult,
+                     eA, cA, iA, aoA, eB, cB, iB, aoB,
+                     eC, cC, iC, aoC, eD, cD, iD, aoD):
+        blocks = jax.vmap(partial(eri_quartet_kernel, ls, omega=omega))(
+            eA, cA, coords[iA], eB, cB, coords[iB],
+            eC, cC, coords[iC], eD, cD, coords[iD])
+        sa, sb = nsph(ls[0]), nsph(ls[1])
+        sc, sd = nsph(ls[2]), nsph(ls[3])
+        ar = aoA[:, None] + jnp.arange(sa)[None, :]
+        br = aoB[:, None] + jnp.arange(sb)[None, :]
+        cr = aoC[:, None] + jnp.arange(sc)[None, :]
+        dr = aoD[:, None] + jnp.arange(sd)[None, :]
+        Dab = Dt[ar[:, :, None], br[:, None, :]]
+        Dcd = Dt[cr[:, :, None], dr[:, None, :]]
+        e_j = 0.5 * jnp.einsum("q,qabcd,qab,qcd->", mult, blocks, Dab, Dcd)
+        e_k = 0.0
+        if k_weight:
+            for s in range(Dks.shape[0]):
+                Dk = Dks[s]
+                Dac = Dk[ar[:, :, None], cr[:, None, :]]
+                Dbd = Dk[br[:, :, None], dr[:, None, :]]
+                Dad = Dk[ar[:, :, None], dr[:, None, :]]
+                Dbc = Dk[br[:, :, None], cr[:, None, :]]
+                e_k = e_k + 0.125 * jnp.einsum(
+                    "q,qabcd,qac,qbd->", mult, blocks, Dac, Dbd) \
+                    + 0.125 * jnp.einsum(
+                    "q,qabcd,qad,qbc->", mult, blocks, Dad, Dbc)
+        kw = k_weight if not spin_resolved else 2.0 * k_weight
+        return e_j - kw * e_k
+
+    return jax.jit(jax.grad(chunk_energy, argnums=0))
+
+
+def energy_2e_grad_eager(basis: BasisSet, coords, dm, k_weight: float = 1.0,
+                         omega=None) -> np.ndarray:
+    """d(E_2e)/dR accumulated chunk-by-chunk with cached per-class compiled
+    gradients (serialized dispatch — TPU remote-compile friendly)."""
+    coords = jnp.asarray(coords)
+    nao = basis.nao
+    spin_resolved = dm.ndim == 3
+    if spin_resolved:
+        Dt = jnp.pad(dm[0] + dm[1], ((0, 1), (0, 1)))
+        Dks = jnp.pad(dm, ((0, 0), (0, 1), (0, 1)))
+    else:
+        Dt = jnp.pad(dm, ((0, 1), (0, 1)))
+        Dks = jnp.pad(dm, ((0, 1), (0, 1)))[None]
+
+    pcs = pair_classes(basis)
+    gtot = np.zeros(coords.shape)
+    for i1, p1 in enumerate(pcs):
+        for p2 in pcs[i1:]:
+            same = p1 is p2
+            q1, q2 = np.mgrid[0:p1.n, 0:p2.n]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if same:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+            w1 = np.where(np.asarray(p1.ia)[q1] == np.asarray(p1.ib)[q1]
+                          if p1.la == p1.lb else np.zeros(len(q1), bool),
+                          1.0, 2.0)
+            w2 = np.where(np.asarray(p2.ia)[q2] == np.asarray(p2.ib)[q2]
+                          if p2.la == p2.lb else np.zeros(len(q2), bool),
+                          1.0, 2.0)
+            wbk = np.where(same & (q1 == q2), 1.0, 2.0)
+            mult = w1 * w2 * wbk
+            ls = (p1.la, p1.lb, p2.la, p2.lb)
+            gfn = _e2_chunk_grad_fn(ls, spin_resolved, float(k_weight),
+                                    omega)
+            chunk = _class_chunk(ls, p1.exps_a.shape[1], p1.exps_b.shape[1],
+                                 p2.exps_a.shape[1], p2.exps_b.shape[1])
+            nreal = len(q1)
+            npad = (-nreal) % chunk
+            q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
+            q2p = np.concatenate([q2, np.zeros(npad, np.int64)])
+            multp = np.concatenate([mult, np.zeros(npad)])
+            padm = np.concatenate([np.zeros(nreal, bool),
+                                   np.ones(npad, bool)])
+            sa, sb = nsph(p1.la), nsph(p1.lb)
+            sc, sd = nsph(p2.la), nsph(p2.lb)
+            for s in range(0, len(q1p), chunk):
+                sl1, sl2 = q1p[s:s+chunk], q2p[s:s+chunk]
+                pm = padm[s:s+chunk]
+                aoA = np.where(pm, nao, p1.ao_a[sl1])
+                aoB = np.where(pm, nao, p1.ao_b[sl1])
+                aoC = np.where(pm, nao, p2.ao_a[sl2])
+                aoD = np.where(pm, nao, p2.ao_b[sl2])
+                g = gfn(coords, Dt, Dks, jnp.asarray(multp[s:s+chunk]),
+                        jnp.asarray(p1.exps_a[sl1]),
+                        jnp.asarray(p1.coefs_a[sl1]),
+                        jnp.asarray(p1.atom_a[sl1]), jnp.asarray(aoA),
+                        jnp.asarray(p1.exps_b[sl1]),
+                        jnp.asarray(p1.coefs_b[sl1]),
+                        jnp.asarray(p1.atom_b[sl1]), jnp.asarray(aoB),
+                        jnp.asarray(p2.exps_a[sl2]),
+                        jnp.asarray(p2.coefs_a[sl2]),
+                        jnp.asarray(p2.atom_a[sl2]), jnp.asarray(aoC),
+                        jnp.asarray(p2.exps_b[sl2]),
+                        jnp.asarray(p2.coefs_b[sl2]),
+                        jnp.asarray(p2.atom_b[sl2]), jnp.asarray(aoD))
+                gtot += np.asarray(g)
+    return gtot
 
 
 @lru_cache(maxsize=None)
