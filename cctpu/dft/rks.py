@@ -51,14 +51,21 @@ class _XCMixin:
         self._pts_chunks, self._w_chunks = _chunk_pts(pts, w,
                                                       self.grid_chunk)
 
+    def _prepare_xc_f32(self):
+        """Eager f32 copies of the grid chunks (outside any trace)."""
+        if self.func.xctype != "HF" and not hasattr(self, "_pts_chunks32"):
+            self._pts_chunks32 = self._pts_chunks.astype(jnp.float32)
+            self._w_chunks32 = self._w_chunks.astype(jnp.float32)
+            self._coords32 = self.coords.astype(jnp.float32)
+
     def _exc_total(self, dm):
-        """E_xc[D] on the cached grid (fixed geometry; follows dm dtype —
-        f32 chunks cached for the mixed-precision fast mode)."""
+        """E_xc[D] on the cached grid (fixed geometry; follows dm dtype)."""
         if dm.dtype == jnp.float32:
             if not hasattr(self, "_pts_chunks32"):
-                self._pts_chunks32 = self._pts_chunks.astype(jnp.float32)
-                self._w_chunks32 = self._w_chunks.astype(jnp.float32)
-                self._coords32 = self.coords.astype(jnp.float32)
+                # inside-trace safe: no attribute assignment
+                return self._exc_with(dm, self.coords.astype(jnp.float32),
+                                      self._pts_chunks.astype(jnp.float32),
+                                      self._w_chunks.astype(jnp.float32))
             return self._exc_with(dm, self._coords32, self._pts_chunks32,
                                   self._w_chunks32)
         return self._exc_with(dm, self.coords, self._pts_chunks,

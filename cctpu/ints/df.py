@@ -324,12 +324,19 @@ class DFJK:
         B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
         return B.reshape(naux, nao, nao)
 
+    def prepare_dtype(self, dtype):
+        """Eagerly cache the cast B (must run OUTSIDE any jit trace —
+        assigning inside a trace would leak a tracer)."""
+        if dtype != self.B.dtype:
+            self._B_cast = self.B.astype(dtype)
+
     def _cast_B(self, dtype):
         if dtype == self.B.dtype:
             return self.B
-        if not hasattr(self, "_B_cast") or self._B_cast.dtype != dtype:
-            self._B_cast = self.B.astype(dtype)
-        return self._B_cast
+        cached = getattr(self, "_B_cast", None)
+        if cached is not None and cached.dtype == dtype:
+            return cached
+        return self.B.astype(dtype)   # inside-trace: constant-folded, no cache
 
     def __call__(self, dm, with_k: bool = True):
         B = self._cast_B(dm.dtype)

@@ -44,12 +44,17 @@ class IncoreJK:
         K = jnp.einsum("ikjl,...kl->...ij", eri, dm) if with_k else None
         return J, K
 
+    def prepare_dtype(self, dtype):
+        if dtype != self.eri.dtype:
+            self._eri_cast = self.eri.astype(dtype)
+
     def _cast_eri(self, dtype):
         if dtype == self.eri.dtype:
             return self.eri
-        if not hasattr(self, "_eri_cast") or self._eri_cast.dtype != dtype:
-            self._eri_cast = self.eri.astype(dtype)
-        return self._eri_cast
+        cached = getattr(self, "_eri_cast", None)
+        if cached is not None and cached.dtype == dtype:
+            return cached
+        return self.eri.astype(dtype)
 
     def prepare_lr(self, omega: float):
         if omega not in self._eri_lr:
@@ -256,6 +261,10 @@ class SCFBase:
             # floor in f32 is ~3e-6, plenty to hand a converged-shape
             # density to the f64 polish
             f32 = jnp.float32
+            if hasattr(self._jk, "prepare_dtype"):
+                self._jk.prepare_dtype(f32)
+            if hasattr(self, "_prepare_xc_f32"):
+                self._prepare_xc_f32()
             step32 = jax.jit(self._make_step(H.astype(f32), S.astype(f32),
                                              _orthogonalizer(S.astype(f32))))
             diis32 = diis_init(o.diis_space, self._diis_size(dm),
