@@ -132,11 +132,20 @@ class TDDFT:
             self.converged = conv
             return self.e
 
-        # Full TDDFT via Hermitian product form. For nov small enough build
-        # dense; else Davidson on M z = w^2 z with M v = (A-B)^1/2 (A+B)
-        # (A-B)^1/2 v computed through dense (A-B)^1/2 (requires it once).
+        # Full TDDFT: dense Casida for small problems, paired Davidson
+        # (Stratmann-Scuseria-style) beyond.
         apb = self._mv_flat(self._apb_mv)
         amb = self._mv_flat(self._amb_mv)
+        if nov > 600:
+            from cctpu.response.davidson import rpa_davidson
+            w, xpy, xmy, conv = rpa_davidson(apb, amb, self.ediff, nst,
+                                             tol=1e-6)
+            self.e = w
+            self.xy = [(0.5 * (xpy[:, k] + xmy[:, k]).reshape(no, nv),
+                        0.5 * (xpy[:, k] - xmy[:, k]).reshape(no, nv))
+                       for k in range(nst)]
+            self.converged = conv
+            return self.e
         if nov <= 1500:
             I = np.eye(nov)
             APB = apb(I)
