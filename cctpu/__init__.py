@@ -34,3 +34,30 @@ except Exception:  # pragma: no cover - cache is best-effort
 __version__ = "0.1.0"
 
 from cctpu.core.molecule import Molecule  # noqa: E402,F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (kept lazy so `import cctpu` stays light)."""
+    api = {
+        "RHF": ("cctpu.scf.hf", "RHF"),
+        "UHF": ("cctpu.scf.hf", "UHF"),
+        "ROHF": ("cctpu.scf.hf", "ROHF"),
+        "RKS": ("cctpu.dft.rks", "RKS"),
+        "UKS": ("cctpu.dft.rks", "UKS"),
+        "MP2": ("cctpu.mp.mp2", "MP2"),
+        "TDDFT": ("cctpu.response.tddft", "TDDFT"),
+        "TDA": ("cctpu.response.tddft", "TDA"),
+        "NMR": ("cctpu.response.nmr", "NMR"),
+        "PCM": ("cctpu.solvent.pcm", "PCM"),
+        "CASCI": ("cctpu.mcscf.casscf", "CASCI"),
+        "CASSCF": ("cctpu.mcscf.casscf", "CASSCF"),
+        "avas": ("cctpu.mcscf.casscf", "avas"),
+        "optimize": ("cctpu.geomopt.optimizer", "optimize"),
+        "gradient": ("cctpu.grad.scf_grad", "gradient"),
+        "smiles_to_molecule": ("cctpu.io.embed3d", "smiles_to_molecule"),
+    }
+    if name in api:
+        import importlib
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
