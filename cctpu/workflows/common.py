@@ -73,6 +73,19 @@ def open_reports(args, script: str):
                  "w")
     log = open(os.path.join(args.output_dir, f"{tag}_log_report.txt"), "w")
     out = MultiWriter(sys.stdout, short, log)
+    # config provenance sidecar (SURVEY §5: serialize run config with
+    # results) — every run records exactly what produced it
+    import json
+    try:
+        cfg = {k: v for k, v in vars(args).items()
+               if isinstance(v, (str, int, float, bool, type(None), list))}
+        cfg["_script"] = script
+        cfg["_cctpu_version"] = __import__("cctpu").__version__
+        with open(os.path.join(args.output_dir, f"{tag}_config.json"),
+                  "w") as f:
+            json.dump(cfg, f, indent=1)
+    except Exception:
+        pass
     return out, short, log, tag
 
 
