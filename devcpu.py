@@ -8,3 +8,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# CPU-only compile cache: entries written via the axon remote-compile
+# helper carry target-feature flags this host lacks and SIGSEGV on load
+import os as _os
+_cpu_cache = _os.path.expanduser("~/.cache/cctpu_jax_cpu")
+_os.makedirs(_cpu_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cpu_cache)

@@ -15,3 +15,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# CPU-only compile cache (axon-written AOT entries can SIGSEGV on load)
+_cpu_cache = os.path.expanduser("~/.cache/cctpu_jax_cpu")
+os.makedirs(_cpu_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cpu_cache)
