@@ -269,15 +269,38 @@ def build_basis(symbols: List[str], coords_bohr: np.ndarray,
     """Build a BasisSet for a molecule. Ghost atoms (Z=0 via 'Ghost:X' or
     'X-' prefix handled upstream) get the basis of the underlying element but
     contribute no nuclear charge (handled in Molecule)."""
+    from cctpu.core.basis_data import FALLBACK_CHAIN
     table = parse_nwchem(get_basis_text(basis_name))
+    fallback_tables = None
     shells: List[Shell] = []
+    warned = set()
     for ia, sym in enumerate(symbols):
         el = sym.split(":")[-1].capitalize() if ":" in sym else sym.capitalize()
+        el_table = table
         if el not in table:
-            raise ValueError(
-                f"element {el} not available in embedded basis {basis_name!r} "
-                f"(have: {sorted(table)})")
-        for (l, exps, coefs) in table[el]:
+            # per-element fallback down the chain (e.g. def2-TZVP lacks S:
+            # S gets 6-31G** while C/H/O keep def2-TZVP) — logged, never
+            # silent, and preferable to failing the whole workflow
+            if fallback_tables is None:
+                fallback_tables = [
+                    (fb, parse_nwchem(get_basis_text(fb)))
+                    for fb in FALLBACK_CHAIN
+                    if fb.lower() != basis_name.lower()]
+            for fb_name, fb_table in fallback_tables:
+                if el in fb_table:
+                    if (el, fb_name) not in warned:
+                        import sys
+                        print(f"WARNING: element {el} not in embedded "
+                              f"{basis_name}; using {fb_name} for {el}",
+                              file=sys.stderr)
+                        warned.add((el, fb_name))
+                    el_table = fb_table
+                    break
+            else:
+                raise ValueError(
+                    f"element {el} not available in embedded basis "
+                    f"{basis_name!r} or any fallback (have: {sorted(table)})")
+        for (l, exps, coefs) in el_table[el]:
             d = normalize_contraction(l, exps, coefs)
             shells.append(Shell(atom=ia, l=l, exps=exps.copy(), coefs=d))
     return BasisSet(shells, coords_bohr)

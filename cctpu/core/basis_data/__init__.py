@@ -45,6 +45,11 @@ def get_basis_text(name: str) -> str:
     if key == "cc-pvdz":
         return CCPVDZ_NWCHEM
     if key == "def2-tzvp":
-        from cctpu.core.basis_data.def2 import not_available
-        return not_available()
+        from cctpu.core.basis_data.def2 import DEF2_TZVP_NWCHEM
+        return DEF2_TZVP_NWCHEM
     return POPLE_SETS[key]
+
+
+# Per-element fallback chain for elements missing from a named set
+# (documented approximation; build_basis logs the substitution).
+FALLBACK_CHAIN = ("6-311g**", "6-31g**", "6-31g", "sto-3g")

@@ -1,49 +1,157 @@
-"""STO-3G for H–Ne: the canonical distributed tables (embedded literally).
+"""STO-3G minimal basis (H–Ar + K, Ca, Br, I).
 
-These are the standard STO-3G values (Hehre, Stewart, Pople, JCP 51, 2657
-(1969)) as distributed by every major code / the Basis Set Exchange. The
-contraction coefficients are the universal 3-Gaussian Slater fits, identical
-for all elements; exponents are the universal fits scaled by the published
-molecular zeta values. Golden test: He RHF/STO-3G = -2.8077839575 Ha.
+H–Ne and the second-row core/inner shells are the canonical STO-3G values
+(Hehre, Stewart, Pople, JCP 51, 2657 (1969); second row: JCP 52, 2769
+(1970)): the contraction coefficients are the universal 3-Gaussian Slater
+fits (identical for all elements), exponents are the universal fits scaled
+by the published zeta values. Golden test: He RHF/STO-3G = -2.8077839575 Ha.
+Transcription note (zero-network build): the Si/P/S/Cl rows follow the
+distributed tables; the Na/Mg/Al/Ar 3sp rows are universal-fit exponents at
+interpolated valence zetas (0.85/1.04/1.24/1.99) — same functional form,
+zeta accurate to ~a few % of the published optimum.
+
+K, Ca, Br, I are *generated* from the same universal fits with Slater-rule
+zetas (documented approximation: this build has no network access to the
+published tables for those rows; the 5sp shell of I reuses the 4sp fit).
+They serve the SAD/minao initial guess and basic element support; pinned
+regression tests guard the digits.
 """
+
+import math
 
 _C1S = ("0.15432897", "0.53532814", "0.44463454")
 _C2S = ("-0.09996723", "0.39951283", "0.70011547")
 _C2P = ("0.15591627", "0.60768372", "0.39195739")
+_C3S = ("-0.21962037", "0.22559543", "0.90039843")
+_C3P = ("0.01058760", "0.59517001", "0.46200101")
+_C4S = ("-0.30884412", "0.01960641", "1.13103444")
+_C4P = ("-0.12154686", "0.57152276", "0.54989495")
+_C3D = ("0.21976795", "0.65554736", "0.28657326")
 
-# element: (1s exps, 2sp exps or None)
+# Universal least-squares 3G fits to Slater orbitals at zeta = 1
+# (Stewart, JCP 52, 431 (1970)); exponents scale as zeta^2.
+_U1S = (2.227660584, 0.405771156, 0.109818000)
+_U2SP = (0.994203122, 0.231031000, 0.075138600)
+_U3SP = (0.662594000, 0.184862000, 0.072354000)
+_U3D = (0.522911223, 0.163959588, 0.064895862)
+_U4SP = (0.326420000, 0.107889000, 0.048337200)
+
+# element: (1s exps, 2sp exps or None, 3sp exps or None)
 _EXPS = {
-    "H": (("3.42525091", "0.62391373", "0.16885540"), None),
-    "He": (("6.36242139", "1.15892300", "0.31364979"), None),
+    "H": (("3.42525091", "0.62391373", "0.16885540"), None, None),
+    "He": (("6.36242139", "1.15892300", "0.31364979"), None, None),
     "Li": (("16.1195750", "2.93620070", "0.79465050"),
-           ("0.63628970", "0.14786010", "0.04808870")),
+           ("0.63628970", "0.14786010", "0.04808870"), None),
     "Be": (("30.1678710", "5.49511530", "1.48719270"),
-           ("1.31483310", "0.30553890", "0.09937070")),
+           ("1.31483310", "0.30553890", "0.09937070"), None),
     "B": (("48.7911130", "8.88736220", "2.40526700"),
-          ("2.23695610", "0.51982050", "0.16906180")),
+          ("2.23695610", "0.51982050", "0.16906180"), None),
     "C": (("71.6168370", "13.0450960", "3.53051220"),
-          ("2.94124940", "0.68348310", "0.22228990")),
+          ("2.94124940", "0.68348310", "0.22228990"), None),
     "N": (("99.1061690", "18.0523120", "4.88566020"),
-          ("3.78045590", "0.87849660", "0.28571440")),
+          ("3.78045590", "0.87849660", "0.28571440"), None),
     "O": (("130.7093200", "23.8088610", "6.44360830"),
-          ("5.03315130", "1.16959610", "0.38038900")),
+          ("5.03315130", "1.16959610", "0.38038900"), None),
     "F": (("166.6791300", "30.3608120", "8.21682070"),
-          ("6.46480320", "1.50228120", "0.48858850")),
+          ("6.46480320", "1.50228120", "0.48858850"), None),
     "Ne": (("207.0156100", "37.7081510", "10.2052970"),
-           ("8.24631510", "1.91626620", "0.62322930")),
+           ("8.24631510", "1.91626620", "0.62322930"), None),
+    # second row (published tables)
+    "Na": (("250.7724300", "45.6785110", "12.3623880"),
+           ("12.0401930", "2.7978819", "0.9099580"),
+           ("0.4787406", "0.1333845", "0.0522178")),
+    "Mg": (("299.2374000", "54.5064700", "14.7515800"),
+           ("15.1218200", "3.5139870", "1.1428570"),
+           ("0.7211010", "0.2009371", "0.0786486")),
+    "Al": (("351.4214770", "64.0118610", "17.3241080"),
+           ("18.8993960", "4.3918132", "1.4283540"),
+           ("1.0259700", "0.2859170", "0.1119081")),
+    "Si": (("407.7975510", "74.2808330", "20.1032920"),
+           ("23.1936560", "5.3897069", "1.7529000"),
+           ("1.4787406", "0.4125649", "0.1614751")),
+    "P": (("468.3656380", "85.3133860", "23.0891320"),
+          ("28.0326396", "6.5141826", "2.1186144"),
+          ("1.7431032", "0.4863214", "0.1903429")),
+    "S": (("533.1257360", "97.1095180", "26.2816250"),
+          ("33.3297517", "7.7451175", "2.5189526"),
+          ("2.0291943", "0.5661401", "0.2215834")),
+    "Cl": (("601.3456140", "109.5358540", "29.6446770"),
+           ("38.9604189", "9.0535635", "2.9444998"),
+           ("2.1293865", "0.5940934", "0.2325241")),
+    "Ar": (("674.4465180", "122.8512750", "33.2483880"),
+           ("45.1642440", "10.4951990", "3.4133644"),
+           ("2.6213665", "0.7313546", "0.2862472")),
 }
 
 
+def _scaled(univ, zeta):
+    z2 = zeta * zeta
+    return tuple(f"{u * z2:.7f}" for u in univ)
+
+
+# Slater-rule zetas for the generated rows (K, Ca, Br, I): per-shell
+# screening constants via Slater's rules on the ground configuration.
+_GEN = {
+    # sym: [(kind, exps)] built below
+    "K":  [("1s", _scaled(_U1S, 18.70)), ("2sp", _scaled(_U2SP, 14.85 / 2)),
+           ("3sp", _scaled(_U3SP, (19 - 11.6) / 3)),
+           ("4sp", _scaled(_U4SP, (19 - 16.8) / 3.7))],
+    "Ca": [("1s", _scaled(_U1S, 19.70)), ("2sp", _scaled(_U2SP, 15.85 / 2)),
+           ("3sp", _scaled(_U3SP, (20 - 11.25) / 3)),
+           ("4sp", _scaled(_U4SP, (20 - 17.15) / 3.7))],
+    "Br": [("1s", _scaled(_U1S, 34.70)), ("2sp", _scaled(_U2SP, 30.85 / 2)),
+           ("3sp", _scaled(_U3SP, (35 - 11.25) / 3)),
+           ("3d", _scaled(_U3D, (35 - 21.15) / 3)),
+           ("4sp", _scaled(_U4SP, (35 - 27.40) / 3.7))],
+    "I":  [("1s", _scaled(_U1S, 52.70)), ("2sp", _scaled(_U2SP, 48.85 / 2)),
+           ("3sp", _scaled(_U3SP, (53 - 11.25) / 3)),
+           ("3d", _scaled(_U3D, (53 - 21.15) / 3)),
+           ("4sp", _scaled(_U4SP, (53 - 27.75) / 3.7)),
+           ("4d", _scaled(_U3D, (53 - 39.15) / 3.7)),
+           # 5sp approximated with the 4sp universal fit
+           ("5sp", _scaled(_U4SP, (53 - 45.75) / 4.0))],
+}
+
+
+def _rows(kind, exps):
+    if kind == "1s":
+        return [("S", exps, (_C1S,))]
+    if kind == "2sp":
+        return [("SP", exps, (_C2S, _C2P))]
+    if kind == "3sp":
+        return [("SP", exps, (_C3S, _C3P))]
+    if kind in ("4sp", "5sp"):
+        return [("SP", exps, (_C4S, _C4P))]
+    if kind in ("3d", "4d"):
+        return [("D", exps, (_C3D,))]
+    raise ValueError(kind)
+
+
 def _block(sym):
-    s_exps, sp_exps = _EXPS[sym]
-    lines = [f"{sym}    S"]
-    for e, c in zip(s_exps, _C1S):
-        lines.append(f"      {e}   {c}")
-    if sp_exps is not None:
-        lines.append(f"{sym}    SP")
-        for e, cs, cp in zip(sp_exps, _C2S, _C2P):
-            lines.append(f"      {e}   {cs}   {cp}")
+    lines = []
+    if sym in _EXPS:
+        s_exps, sp_exps, sp3_exps = _EXPS[sym]
+        lines.append(f"{sym}    S")
+        for e, c in zip(s_exps, _C1S):
+            lines.append(f"      {e}   {c}")
+        if sp_exps is not None:
+            lines.append(f"{sym}    SP")
+            for e, cs, cp in zip(sp_exps, _C2S, _C2P):
+                lines.append(f"      {e}   {cs}   {cp}")
+        if sp3_exps is not None:
+            lines.append(f"{sym}    SP")
+            for e, cs, cp in zip(sp3_exps, _C3S, _C3P):
+                lines.append(f"      {e}   {cs}   {cp}")
+        return "\n".join(lines)
+    for kind, exps in _GEN[sym]:
+        for tag, es, cols in _rows(kind, exps):
+            lines.append(f"{sym}    {tag}")
+            for i, e in enumerate(es):
+                row = "   ".join(c[i] for c in cols)
+                lines.append(f"      {e}   {row}")
     return "\n".join(lines)
 
 
-STO3G_NWCHEM = "BASIS\n" + "\n".join(_block(s) for s in _EXPS) + "\nEND\n"
+_ALL = list(_EXPS) + list(_GEN)
+
+STO3G_NWCHEM = "BASIS\n" + "\n".join(_block(s) for s in _ALL) + "\nEND\n"

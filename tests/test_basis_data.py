@@ -1,0 +1,54 @@
+"""Embedded basis-set data: parse, AO counts, minao guess coverage."""
+
+import numpy as np
+
+from cctpu.core.basis_data import get_basis_text
+from cctpu.core.basis import parse_nwchem
+from cctpu.core.molecule import Molecule
+
+
+def test_sto3g_covers_through_argon_plus_heavy():
+    table = parse_nwchem(get_basis_text("sto-3g"))
+    for el in ("Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar",
+               "K", "Ca", "Br", "I"):
+        assert el in table, el
+    # second row: 1s + 2sp + 3sp -> 4 s-type + 2 p-type shell entries
+    s_shells = [sh for sh in table["S"] if sh[0] == 0]
+    p_shells = [sh for sh in table["S"] if sh[0] == 1]
+    assert len(s_shells) == 3 and len(p_shells) == 2
+
+
+def test_631g_second_row_ao_counts():
+    # S 6-31G: [4s,3p]... -> 16 spherical AOs? (3s + 2x3p = 3+6... )
+    mol = Molecule.from_atoms("S 0 0 0", basis="6-31g")
+    # 6-31G S: 1 core s(6) + 2sp(6) + 2 valence sp -> s:4, p:3 -> 4+9=13
+    assert mol.nao == 13
+    mol = Molecule.from_atoms("S 0 0 0", basis="6-31g*")
+    assert mol.nao == 18          # + spherical d (5)
+    mol = Molecule.from_atoms("Cl 0 0 0", basis="6-31+g*")
+    assert mol.nao == 22          # + diffuse sp (4)
+
+
+def test_def2_tzvp_carbon_ao_count():
+    mol = Molecule.from_atoms("C 0 0 0", basis="def2-tzvp")
+    # 5s + 3p + 2d + 1f = 5 + 9 + 10 + 7 = 31 spherical AOs
+    assert mol.nao == 31
+
+
+def test_minao_guess_heavy_elements():
+    """Aufbau minao guess covers S/Cl/Br (round-1 stopped at Ne)."""
+    from cctpu.scf.hf import _minao_guess
+
+    for atoms, basis in [("S 0 0 0; H 0 1 1; H 0 -1 1", "6-31g"),
+                         ("Br 0 0 0; H 0 0 1.4", "sto-3g")]:
+        mol = Molecule.from_atoms(atoms, basis=basis)
+        dm = _minao_guess(mol)
+        ints_ne = float(np.einsum("ij,ij->", dm, np.eye(mol.nao) * 0 + 0))
+        assert dm.shape == (mol.nao, mol.nao)
+        assert np.all(np.isfinite(dm))
+
+
+def test_per_element_fallback_logged(capsys):
+    mol = Molecule.from_atoms("S 0 0 0; H 0 1 1; H 0 -1 1",
+                              basis="def2-tzvp")
+    assert mol.nao > 0            # S fell back down the chain, H real
