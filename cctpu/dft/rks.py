@@ -139,9 +139,9 @@ class RKS(_XCMixin, RHF):
         self.grid_level = opts.get("grid_level", 3)
         self._setup_xc()
 
-    def get_veff(self, dm):
+    def get_veff(self, dm, cocc=None):
         func = self.func
-        J, K = self._jk(dm, with_k=bool(func.hyb))
+        J, K = self._jk(dm, with_k=bool(func.hyb), cocc=cocc)
         ecoul = 0.5 * jnp.einsum("ij,ij->", dm, J)
         veff = J
         e2 = ecoul
@@ -150,7 +150,7 @@ class RKS(_XCMixin, RHF):
             e2 = e2 - 0.25 * func.hyb * jnp.einsum("ij,ij->", dm, K)
         if func.rsh is not None:
             omega, _, beta = func.rsh
-            Klr = self._jk.k_lr(dm, omega)
+            Klr = self._jk.k_lr(dm, omega, cocc=cocc)
             veff = veff - 0.5 * beta * Klr
             e2 = e2 - 0.25 * beta * jnp.einsum("ij,ij->", dm, Klr)
         if func.exc is not None:
@@ -171,9 +171,9 @@ class UKS(_XCMixin, UHF):
         self.grid_level = opts.get("grid_level", 3)
         self._setup_xc()
 
-    def get_veff(self, dm):
+    def get_veff(self, dm, cocc=None):
         func = self.func
-        J, K = self._jk(dm, with_k=bool(func.hyb))
+        J, K = self._jk(dm, with_k=bool(func.hyb), cocc=cocc)
         Jtot = J[0] + J[1]
         ecoul = 0.5 * jnp.einsum("sij,ij->", dm, Jtot)
         veff = jnp.stack([Jtot, Jtot])
@@ -183,7 +183,7 @@ class UKS(_XCMixin, UHF):
             e2 = e2 - 0.5 * func.hyb * jnp.einsum("sij,sij->", dm, K)
         if func.rsh is not None:
             omega, _, beta = func.rsh
-            Klr = self._jk.k_lr(dm, omega)
+            Klr = self._jk.k_lr(dm, omega, cocc=cocc)
             veff = veff - beta * Klr
             e2 = e2 - 0.5 * beta * jnp.einsum("sij,sij->", dm, Klr)
         if func.exc is not None:

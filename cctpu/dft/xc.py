@@ -76,7 +76,13 @@ def _vwn_eps(x, A, b, c, x0):
 
 
 def _f_zeta(z):
-    return (((1 + z) ** (4.0 / 3.0) + (1 - z) ** (4.0 / 3.0) - 2.0)
+    # max(..., 1e-15) keeps the fractional pow off an exactly-zero base:
+    # the TPU lowering (exp(y log x)) returns NaN gradients there, and the
+    # M06 spin-decomposition evaluates this at zeta = +-1 on every point
+    zp = jnp.clip(z, -1.0, 1.0)
+    up = jnp.maximum(1.0 + zp, 1e-15)
+    dn = jnp.maximum(1.0 - zp, 1e-15)
+    return ((up ** (4.0 / 3.0) + dn ** (4.0 / 3.0) - 2.0)
             / (2.0 ** (4.0 / 3.0) - 2.0))
 
 
@@ -227,13 +233,19 @@ def e_x_pbe(ra, rb, saa, sab, sbb, *_):
     out = 0.0
     for r, s in ((ra, saa), (rb, sbb)):
         m, rs = _safe(r)
-        r2 = 2.0 * rs
+        # gradient-correction floor: the backward pass forms (2 kf rho)^-3,
+        # which overflows the TPU emulated-f64 range below rho ~ 1e-7;
+        # under the floor the enhancement falls back to F = 1 (LDA)
+        mg = rs > 1e-7
+        rg = jnp.where(mg, rs, 1.0)
+        r2 = 2.0 * rg
         kf = (3.0 * math.pi ** 2 * r2) ** (1.0 / 3.0)
         # s^2 = 4*sigma / (2 kf * 2rho)^2 — no sqrt needed, NaN-safe
-        s2 = 4.0 * jnp.where(s > 0, s, 0.0) / (2.0 * kf * r2) ** 2
+        s2 = jnp.where(mg, 4.0 * jnp.where(s > 0, s, 0.0)
+                       / (2.0 * kf * r2) ** 2, 0.0)
         F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s2
                                              / _PBE_KAPPA)
-        lda = -_CX * r2 ** (4.0 / 3.0)
+        lda = -_CX * (2.0 * rs) ** (4.0 / 3.0)
         out = out + jnp.where(m, 0.5 * lda * F, 0.0)
     return out
 
@@ -244,12 +256,17 @@ def e_c_pbe(ra, rb, saa, sab, sbb, *_):
     z = jnp.clip(jnp.where(m, (ra - rb) / r, 0.0), -1 + 1e-12, 1 - 1e-12)
     rs = (3.0 / (4.0 * math.pi * r)) ** (1.0 / 3.0)
     eps_lda = pw92_eps(rs, z)
-    phi = 0.5 * ((1 + z) ** (2.0 / 3.0) + (1 - z) ** (2.0 / 3.0))
-    kf = (3.0 * math.pi ** 2 * r) ** (1.0 / 3.0)
+    phi = 0.5 * (jnp.maximum(1.0 + z, 1e-15) ** (2.0 / 3.0)
+                 + jnp.maximum(1.0 - z, 1e-15) ** (2.0 / 3.0))
+    # same backward-underflow floor as e_x_pbe: below rho ~ 1e-7 the
+    # gradient correction H is dropped (t^2 = 0 -> H = 0)
+    mg = r > 1e-7
+    rg = jnp.where(mg, r, 1.0)
+    kf = (3.0 * math.pi ** 2 * rg) ** (1.0 / 3.0)
     ks = jnp.sqrt(4.0 * kf / math.pi)
     sigma = saa + 2 * sab + sbb
-    t2 = jnp.where(sigma > 0, sigma, 0.0) / (4.0 * phi * phi * ks * ks
-                                             * r * r)
+    t2 = jnp.where(mg, jnp.where(sigma > 0, sigma, 0.0)
+                   / (4.0 * phi * phi * ks * ks * rg * rg), 0.0)
     expo = jnp.exp(-eps_lda / (_PBE_GAMMA * phi ** 3))
     A = _PBE_BETA / _PBE_GAMMA / jnp.maximum(expo - 1.0, 1e-30)
     num = 1.0 + A * t2
@@ -262,13 +279,24 @@ def e_c_pbe(ra, rb, saa, sab, sbb, *_):
 
 
 # ----------------------------------------------------------------------------
-# M06-2X meta-GGA (Zhao & Truhlar, Theor. Chem. Acc. 120, 215 (2008))
+# M06 family meta-GGAs (Zhao & Truhlar, Theor. Chem. Acc. 120, 215 (2008);
+# M06-L form: J. Chem. Phys. 125, 194101 (2006); VS98 ingredients:
+# Van Voorhis & Scuseria, J. Chem. Phys. 109, 400 (1998))
 # ----------------------------------------------------------------------------
 # Parameter provenance: transcribed from the published tables (no network in
-# this build). Exchange: PBE enhancement x kinetic-energy-density factor
-# f(w) = sum_i a_i w^i. Correlation: same-/opposite-spin UEG scaled by
-# g(u) power series, gamma_ss = 0.06, gamma_ab = 0.0031 (M05/M06 family
-# working equations).
+# this build); each parameter set satisfies the UEG sum rules exactly
+# (exchange: a0 + d0 + X_HF = 1; correlation: c0 + d0 = 1 per channel),
+# asserted in tests/test_dft.py.
+#
+# Working equations (per spin; x^2 = sigma_ss/rho^(8/3),
+# z = 2 tau/rho^(5/3) - C_F, C_F = (3/5)(6 pi^2)^(2/3)):
+#   E_x    = sum_s int e_x^LSDA(rho_s) [F_PBE(s^2) f(w_s) + h_x(x_s, z_s)]
+#   E_c^ss = int e_ss^UEG [g_ss(x_s) + h_ss(x_s, z_s)] D_s
+#   E_c^ab = int e_ab^UEG [g_ab(xbar) + h_ab(xbar, zbar)],
+#            xbar^2 = x_a^2 + x_b^2, zbar = z_a + z_b
+# with f(w) = sum a_i w^i, g(u) = sum c_i u^i (u = gamma x^2/(1+gamma x^2)),
+# and the VS98-type h(x,z) = d0/G + (d1 x^2 + d2 z)/G^2
+# + (d3 x^4 + d4 x^2 z + d5 z^2)/G^3, G = 1 + alpha (x^2 + z).
 
 _M062X_A = (4.600000e-01, -2.206052e-01, -9.431788e-02, 2.164494e+00,
             -2.556466e+00, -1.422133e+01, 1.555044e+01, 3.598078e+01,
@@ -277,7 +305,31 @@ _M062X_CSS = (3.097855e-01, -5.528642e+00, 1.347420e+01, -3.213623e+01,
               2.846742e+01)
 _M062X_CAB = (8.833596e-01, 3.357972e+01, -7.043548e+01, 4.978271e+01,
               -1.852891e+01)
+_M062X_DSS = (6.902145e-01, 9.847204e-02, 2.214797e-01, -1.968264e-03,
+              -6.775479e-03, 0.0)
+_M062X_DAB = (1.166404e-01, -9.120847e-02, -6.726189e-02, 6.720580e-05,
+              8.448011e-04, 0.0)
+
+_M06_A = (5.877943e-01, -1.371776e-01, 2.682367e-01, -2.515898e+00,
+          -2.978892e+00, 8.710679e+00, 1.688195e+01, -4.489724e+00,
+          -3.299983e+01, -1.449050e+01, 2.043747e+01, 1.256504e+01)
+_M06_DX = (1.422057e-01, 7.370319e-04, -1.601373e-02, 0.0, 0.0, 0.0)
+_M06_CSS = (5.094055e-01, -1.491085e+00, 1.723922e+01, -3.859018e+01,
+            2.845044e+01)
+_M06_DSS = (4.905945e-01, -1.437348e-01, 2.357824e-01, 1.871015e-03,
+            -3.788963e-03, 0.0)
+_M06_CAB = (3.741539e+00, 2.187098e+02, -4.531252e+02, 2.936479e+02,
+            -6.287470e+01)
+_M06_DAB = (-2.741539e+00, -6.720113e-01, -7.932688e-02, 1.918681e-03,
+            -2.032902e-03, 0.0)
+
+# VS98-part inhomogeneity parameters (shared across the M06 family)
+_VS98_ALPHA_X = 0.00186726
+_VS98_ALPHA_SS = 0.00515088
+_VS98_ALPHA_AB = 0.00304966
+
 _CF_TAU = 0.3 * (6.0 * math.pi ** 2) ** (2.0 / 3.0)   # tau_LSDA coefficient
+_CF_M06 = 2.0 * _CF_TAU                               # the papers' C_F
 
 
 def _m06_fw(rho, tau, coeffs):
@@ -292,20 +344,68 @@ def _m06_fw(rho, tau, coeffs):
     return f
 
 
-def e_x_m062x(ra, rb, saa, sab, sbb, ta, tb):
-    out = 0.0
-    for r, s, tau in ((ra, saa, ta), (rb, sbb, tb)):
-        m, rs = _safe(r)
-        ms = s > 1e-24
-        ss = jnp.where(ms, s, 0.0)
-        r2 = 2.0 * rs
-        kf = (3.0 * math.pi ** 2 * r2) ** (1.0 / 3.0)
-        s2 = 4.0 * ss / (2.0 * kf * r2) ** 2
-        F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s2 / _PBE_KAPPA)
-        lda = -_CX * r2 ** (4.0 / 3.0)
-        fw = _m06_fw(rs, jnp.maximum(tau, 1e-12), _M062X_A)
-        out = out + jnp.where(m, 0.5 * lda * F * fw, 0.0)
-    return out
+# Density floor for the B97/VS98/M06 inhomogeneity variables. The TPU's
+# emulated f64 (float32 pairs) shares the f32 EXPONENT range: backward
+# passes square the rho^(8/3) denominator, and (1e-7)^(8/3) squared
+# (~2e-37) is the smallest value that stays a normal number. Below the
+# floor x^2/z are taken as 0 (UEG limit) — the affected tail contributes
+# < ~1e-9 Ha.
+_TINY_X2 = 1e-7
+
+
+def _x2_of(sigma, rho_safe):
+    """x^2 = sigma/rho^(8/3) with the TPU-safe density floor."""
+    mx = rho_safe > _TINY_X2
+    r = jnp.where(mx, rho_safe, 1.0)
+    return jnp.where(mx, sigma / r ** (8.0 / 3.0), 0.0)
+
+
+def _z_of(tau, rho_safe):
+    """z = 2 tau/rho^(5/3) - C_F with the TPU-safe density floor."""
+    mx = rho_safe > _TINY_X2
+    r = jnp.where(mx, rho_safe, 1.0)
+    return jnp.where(mx, 2.0 * tau / r ** (5.0 / 3.0) - _CF_M06, 0.0)
+
+
+def _vs98_h(x2, z, alpha, d):
+    """VS98-type inhomogeneity series h(x^2, z)."""
+    G = 1.0 + alpha * (x2 + z)
+    G = jnp.where(jnp.abs(G) > 1e-10, G, 1e-10)
+    return (d[0] / G + (d[1] * x2 + d[2] * z) / G ** 2
+            + (d[3] * x2 * x2 + d[4] * x2 * z + d[5] * z * z) / G ** 3)
+
+
+def _make_m06_x(a_coeffs, d_coeffs):
+    """M06-family exchange: e_x^LSDA [F_PBE f(w) + h_x(x,z)] per spin."""
+    def fn(ra, rb, saa, sab, sbb, ta, tb):
+        out = 0.0
+        for r, s, tau in ((ra, saa, ta), (rb, sbb, tb)):
+            m, rs = _safe(r)
+            ms = s > 1e-24
+            ss = jnp.where(ms, s, 0.0)
+            # PBE-enhancement backward-underflow floor (see e_x_pbe)
+            mg = rs > 1e-7
+            rg = jnp.where(mg, rs, 1.0)
+            r2 = 2.0 * rg
+            kf = (3.0 * math.pi ** 2 * r2) ** (1.0 / 3.0)
+            s2 = jnp.where(mg, 4.0 * ss / (2.0 * kf * r2) ** 2, 0.0)
+            F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s2
+                                                 / _PBE_KAPPA)
+            lda = -_CX * (2.0 * rs) ** (4.0 / 3.0)
+            tau_s = jnp.maximum(tau, 1e-12)
+            fw = _m06_fw(rs, tau_s, a_coeffs)
+            enh = F * fw
+            if any(d_coeffs):
+                x2 = jnp.where(m, _x2_of(ss, rs), 0.0)
+                z = jnp.where(m, _z_of(tau_s, rs), 0.0)
+                enh = enh + _vs98_h(x2, z, _VS98_ALPHA_X, d_coeffs)
+            out = out + jnp.where(m, 0.5 * lda * enh, 0.0)
+        return out
+    return fn
+
+
+e_x_m062x = _make_m06_x(_M062X_A, (0.0,) * 6)
+e_x_m06 = _make_m06_x(_M06_A, _M06_DX)
 
 
 def _m06_gu(x2, gamma, coeffs):
@@ -329,27 +429,112 @@ def _ueg_c_spin(ra, rb):
 
 
 def _dfac(rho, sigma, tau):
-    """Self-interaction-correction factor D = 1 - x^2/(4(z + CF)) of the
-    M05/M06 same-spin correlation (vanishes for one-electron densities)."""
+    """Self-interaction-correction factor of the M05/M06 same-spin
+    correlation: D = 1 - x^2/(4(z + C_F)) in the paper's variables, where
+    z = 2*tau/rho^(5/3) - C_F, so the denominator collapses to
+    8*tau/rho^(5/3). Vanishes exactly for one-electron densities
+    (tau -> von Weizsaecker = sigma/(8 rho))."""
     m, r = _safe(rho)
-    x2 = jnp.where(m, sigma / r ** (8.0 / 3.0), 0.0)
-    z = jnp.where(m, 2.0 * tau / r ** (5.0 / 3.0), 0.0)
-    D = 1.0 - x2 / (4.0 * (z + _CF_TAU * 2.0) + 1e-12)
+    # x^2/(4(z+C_F)) = sigma/(8 tau rho): no large intermediates (the
+    # separate x^2 and z forms overflow the TPU emulated-f64 range).
+    # eps 1e-15: the BACKWARD pass squares the denominator, and (1e-20)^2
+    # underflows the f32-exponent emulated f64 -> inf gradients.
+    D = 1.0 - jnp.where(m, sigma, 0.0) / (
+        8.0 * jnp.maximum(tau, 0.0) * r + 1e-15)
     return jnp.clip(D, 0.0, 1.0)
 
 
-def e_c_m062x(ra, rb, saa, sab, sbb, ta, tb):
-    e_ab, e_aa, e_bb = _ueg_c_spin(ra, rb)
-    ma, rsa = _safe(ra)
-    mb, rsb = _safe(rb)
-    xa2 = jnp.where(ma, saa / rsa ** (8.0 / 3.0), 0.0)
-    xb2 = jnp.where(mb, sbb / rsb ** (8.0 / 3.0), 0.0)
-    g_ab = _m06_gu(xa2 + xb2, 0.0031, _M062X_CAB)
-    g_aa = _m06_gu(xa2, 0.06, _M062X_CSS)
-    g_bb = _m06_gu(xb2, 0.06, _M062X_CSS)
-    Daa = _dfac(ra, saa, ta)
-    Dbb = _dfac(rb, sbb, tb)
-    return e_ab * g_ab + e_aa * g_aa * Daa + e_bb * g_bb * Dbb
+def _make_m06_c(css, dss, cab, dab):
+    """M06-family correlation: UEG channels scaled by [g + h] (same-spin
+    additionally by the SIC factor D)."""
+    def fn(ra, rb, saa, sab, sbb, ta, tb):
+        e_ab, e_aa, e_bb = _ueg_c_spin(ra, rb)
+        ma, rsa = _safe(ra)
+        mb, rsb = _safe(rb)
+        saa_s = jnp.maximum(saa, 0.0)
+        sbb_s = jnp.maximum(sbb, 0.0)
+        xa2 = jnp.where(ma, _x2_of(saa_s, rsa), 0.0)
+        xb2 = jnp.where(mb, _x2_of(sbb_s, rsb), 0.0)
+        za = jnp.where(ma, _z_of(jnp.maximum(ta, 0.0), rsa), 0.0)
+        zb = jnp.where(mb, _z_of(jnp.maximum(tb, 0.0), rsb), 0.0)
+        f_ab = (_m06_gu(xa2 + xb2, 0.0031, cab)
+                + _vs98_h(xa2 + xb2, za + zb, _VS98_ALPHA_AB, dab))
+        f_aa = (_m06_gu(xa2, 0.06, css)
+                + _vs98_h(xa2, za, _VS98_ALPHA_SS, dss))
+        f_bb = (_m06_gu(xb2, 0.06, css)
+                + _vs98_h(xb2, zb, _VS98_ALPHA_SS, dss))
+        Daa = _dfac(ra, saa, ta)
+        Dbb = _dfac(rb, sbb, tb)
+        return e_ab * f_ab + e_aa * f_aa * Daa + e_bb * f_bb * Dbb
+    return fn
+
+
+e_c_m062x = _make_m06_c(_M062X_CSS, _M062X_DSS, _M062X_CAB, _M062X_DAB)
+e_c_m06 = _make_m06_c(_M06_CSS, _M06_DSS, _M06_CAB, _M06_DAB)
+
+
+# ----------------------------------------------------------------------------
+# wB97X-D (Chai & Head-Gordon, Phys. Chem. Chem. Phys. 10, 6615 (2008))
+# ----------------------------------------------------------------------------
+# B97-type power series g(u) = sum_i c_i u^i with u = gamma x^2/(1+gamma x^2)
+# (x^2 = sigma_ss/rho_s^(8/3)); short-range DFT exchange via the erf-
+# attenuated LSDA hole (same _sr_factor as CAM-B3LYP); 100% long-range HF
+# exchange, c_x = 0.222036 short-range HF; CHG-damped D2 dispersion.
+# Parameters from Table 1 of the paper; UEG constraints c_{x,0} + c_x = 1
+# and c_{c,0} = 1 hold exactly (asserted in tests).
+
+_WB97XD_OMEGA = 0.2
+_WB97XD_CXHF = 0.222036
+_WB97XD_CX = (7.77964e-01, 6.61160e-01, 5.74541e-01, -5.25671e+00,
+              -6.33469e+00)
+_WB97XD_CSS = (1.00000e+00, -6.90539e+00, 3.13343e+01, -5.10533e+01,
+               2.64423e+01)
+_WB97XD_CAB = (1.00000e+00, 1.79413e+00, -1.22661e+01, 2.33481e+01,
+               -1.19890e+01)
+_B97_GAMMA_X = 0.004
+_B97_GAMMA_SS = 0.2
+_B97_GAMMA_AB = 0.006
+
+
+def _b97_g(x2, gamma, coeffs):
+    u = gamma * x2 / (1.0 + gamma * x2)
+    g = 0.0
+    up = 1.0
+    for c in coeffs:
+        g = g + c * up
+        up = up * u
+    return g
+
+
+def make_wb97_x(cx=_WB97XD_CX, omega=_WB97XD_OMEGA):
+    """Short-range B97 exchange: e_x^SR-LSDA(rho_s; omega) g_x(u)."""
+    def fn(ra, rb, saa, sab, sbb, *_):
+        out = 0.0
+        for r, s in ((ra, saa), (rb, sbb)):
+            m, rs = _safe(r)
+            x2 = jnp.where(m, _x2_of(jnp.maximum(s, 0.0), rs), 0.0)
+            lda = -0.5 * _CX * (2.0 * rs) ** (4.0 / 3.0)
+            g = _b97_g(x2, _B97_GAMMA_X, cx)
+            fsr = _sr_factor(rs, omega)
+            out = out + jnp.where(m, lda * fsr * g, 0.0)
+        return out
+    return fn
+
+
+def make_b97_c(css=_WB97XD_CSS, cab=_WB97XD_CAB):
+    """B97 correlation: UEG channels scaled by the g(u) series
+    (same-spin gamma 0.2; opposite-spin on the average x^2, gamma 0.006)."""
+    def fn(ra, rb, saa, sab, sbb, *_):
+        e_ab, e_aa, e_bb = _ueg_c_spin(ra, rb)
+        ma, rsa = _safe(ra)
+        mb, rsb = _safe(rb)
+        xa2 = jnp.where(ma, _x2_of(jnp.maximum(saa, 0.0), rsa), 0.0)
+        xb2 = jnp.where(mb, _x2_of(jnp.maximum(sbb, 0.0), rsb), 0.0)
+        xavg2 = 0.5 * (xa2 + xb2)
+        return (e_ab * _b97_g(xavg2, _B97_GAMMA_AB, cab)
+                + e_aa * _b97_g(xa2, _B97_GAMMA_SS, css)
+                + e_bb * _b97_g(xb2, _B97_GAMMA_SS, css))
+    return fn
 
 
 # ----------------------------------------------------------------------------
@@ -435,20 +620,28 @@ def _make_registry() -> Dict[str, XCFunctional]:
     add("b3lyp5", "GGA",
         _combine([(0.08, e_x_slater), (0.72, e_x_b88),
                   (0.19, e_c_vwn5), (0.81, e_c_lyp)]), hyb=0.20)
-    # M06-2X: 54% exact exchange + meta-GGA (parameters transcribed from
-    # the published tables — golden-value revalidation tracked in tests)
+    # M06-2X: 54% exact exchange + meta-GGA. The f(w)/g(u)/h(x,z) series
+    # already carry the fitted scaling (a0 + X_HF = 1), so both pieces
+    # enter with weight 1.
     add("m06-2x", "MGGA",
-        _combine([(0.46, e_x_m062x), (1.0, e_c_m062x)]), hyb=0.54)
-    reg["m06"] = reg["m06-2x"]  # placeholder alias until VS98-part lands
+        _combine([(1.0, e_x_m062x), (1.0, e_c_m062x)]), hyb=0.54,
+        dispersion=None)
+    # M06: 27% exact exchange; exchange carries the VS98-part h_x
+    # (a0 + d0 + 0.27 = 1).
+    add("m06", "MGGA",
+        _combine([(1.0, e_x_m06), (1.0, e_c_m06)]), hyb=0.27)
     # CAM-B3LYP: alpha=0.19 SR-HF, alpha+beta=0.65 LR-HF, mu=0.33
     add("cam-b3lyp", "GGA",
         _combine([(1.0, make_camb3lyp_x()), (0.19, e_c_vwn5),
                   (0.81, e_c_lyp)]),
         hyb=0.19, rsh=(0.33, 0.19, 0.46))
-    # wB97X-D: own B97-series params not yet transcribed; alias to
-    # CAM-B3LYP-style RSH as the nearest available RSH hybrid
-    reg["wb97x-d"] = dataclasses.replace(reg["cam-b3lyp"], name="wb97x-d",
-                                         dispersion=None)
+    # wB97X-D: SR-B97 exchange + B97 correlation, 22.2036% SR-HF,
+    # 100% LR-HF at omega=0.2, CHG-damped D2 dispersion
+    add("wb97x-d", "GGA",
+        _combine([(1.0, make_wb97_x()), (1.0, make_b97_c())]),
+        hyb=_WB97XD_CXHF,
+        rsh=(_WB97XD_OMEGA, _WB97XD_CXHF, 1.0 - _WB97XD_CXHF),
+        dispersion="d2-chg")
     return reg
 
 
@@ -461,6 +654,14 @@ def get_functional(name: str) -> XCFunctional:
     key = aliases.get(key, key)
     if key in _REGISTRY:
         return _REGISTRY[key]
+    # '-d'/'-d2' suffix: base functional + Grimme D2 (Fermi damping)
+    for suf in ("d2", "d"):
+        if key.endswith(suf):
+            base_key = aliases.get(key[:-len(suf)], key[:-len(suf)])
+            if base_key in _REGISTRY:
+                base = _REGISTRY[base_key]
+                return dataclasses.replace(base, name=base.name + "-d2",
+                                           dispersion="d2")
     raise ValueError(f"unknown XC functional {name!r}; "
                      f"available: {sorted(_REGISTRY)}")
 

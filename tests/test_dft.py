@@ -90,3 +90,68 @@ def test_b3lyp_water_631gs_regression():
     # grid-converged value from this code (level 3 vs 4 agree to 1e-7);
     # Gaussian/CCCBDB is ~2 mHa lower due to cartesian 6d convention.
     assert abs(e - (-76.40701311)) < 5e-6
+
+
+def test_m06_dfac_vanishes_one_electron():
+    """The M05/M06 SIC factor D must vanish for one-electron densities
+    (tau = von Weizsaecker = sigma/(8 rho)) — ADVICE.md round-1 high."""
+    from cctpu.dft.xc import _dfac
+    import jax.numpy as jnp
+    # exact H-atom 1s density rho = exp(-2r)/pi sampled at several r
+    r = np.array([0.2, 0.5, 1.0, 2.0, 4.0])
+    rho = np.exp(-2 * r) / np.pi
+    grad = -2.0 * rho                      # d rho / dr
+    sigma = grad ** 2
+    tau = sigma / (8.0 * rho)              # von Weizsaecker
+    D = np.array(_dfac(jnp.asarray(rho), jnp.asarray(sigma),
+                       jnp.asarray(tau)))
+    # 1e-6: the denominator carries a 1e-15 regularizer (TPU backward-
+    # underflow guard), leaving D ~ eps/sigma at the weakest point
+    assert np.all(np.abs(D) < 1e-6), D
+
+
+def test_m06_family_ueg_limits():
+    """At the UEG (sigma=0, tau=tau_UEG) the fitted series must reduce to
+    the exact sum-rule values: exchange a0 (+d0) * LSDA with a0+d0+X_HF=1,
+    correlation c0+d0 = 1 per channel (i.e. e_c = e_c^PW92 exactly)."""
+    from cctpu.dft import xc
+
+    rho = jnp.asarray([0.3, 1.0, 2.5])
+    zero = jnp.zeros_like(rho)
+    tau_ueg = xc._CF_TAU * rho ** (5.0 / 3.0)
+    ex_lda = xc.e_x_slater(rho, rho)
+    ec_ueg = xc.e_c_pw92(rho, rho)
+
+    for name, xfrac in [("m06-2x", 0.46), ("m06", 0.73)]:
+        f = xc.get_functional(name)
+        e = f.exc(rho, rho, zero, zero, zero, tau_ueg, tau_ueg)
+        np.testing.assert_allclose(np.array(e),
+                                   np.array(xfrac * ex_lda + ec_ueg),
+                                   rtol=1e-10)
+        assert abs(xfrac + f.hyb - 1.0) < 1e-12
+
+    f = xc.get_functional("wb97x-d")
+    e = f.exc(rho, rho, zero, zero, zero, tau_ueg, tau_ueg)
+    fsr = xc._sr_factor(rho, xc._WB97XD_OMEGA)
+    expect = xc._WB97XD_CX[0] * fsr * ex_lda + ec_ueg
+    np.testing.assert_allclose(np.array(e), np.array(expect), rtol=1e-10)
+    assert f.rsh == (0.2, 0.222036, 0.777964)
+    assert f.dispersion == "d2-chg"
+
+
+def test_dispersion_d2_wiring():
+    """-d suffix and wb97x-d carry a dispersion term into the SCF energy,
+    and the term is differentiable (used by the gradient path)."""
+    from cctpu.dft.dispersion import dispersion_energy
+    from cctpu.dft.xc import get_functional
+
+    mol = Molecule.from_atoms("O 0 0 0; O 0 0 3.0", basis="sto-3g")
+    f = get_functional("b3lyp-d")
+    assert f.dispersion == "d2"
+    e = dispersion_energy(f, mol)
+    assert e < 0.0
+    g = jax.grad(lambda R: dispersion_energy(f, mol, R))(
+        jnp.asarray(mol.coords))
+    assert np.all(np.isfinite(np.array(g)))
+    # attractive well: dE/dR of the far atom points toward the other
+    assert float(g[1, 2]) > 0.0
