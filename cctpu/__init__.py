@@ -22,8 +22,33 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the integral kernels are compiled per
 # (angular-momentum class, padded primitive width, chunk size) — all static
 # across molecules/geometries — so warm runs skip XLA compilation entirely.
+# The dir is keyed by a host-CPU fingerprint: XLA:CPU AOT entries embed the
+# compile machine's feature set, and loading entries written on a different
+# host can SIGILL (observed with image-baked caches).
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform as _platform
+    tag = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += hashlib.sha1(line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    # platform set matters too: an axon session's CPU-client compiles embed
+    # different XLA codegen flags (prefer-no-scatter/gather) than a pure
+    # cpu session's, and cross-loading those AOT entries SIGILLs
+    tag += "_" + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "-")
+    return tag
+
+
 _cache_dir = _os.path.expanduser(
-    _os.environ.get("CCTPU_JAX_CACHE", "~/.cache/cctpu_jax"))
+    _os.environ.get("CCTPU_JAX_CACHE",
+                    "~/.cache/cctpu_jax_" + _host_fingerprint()))
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -47,8 +47,9 @@ def gradient(mf):
         platform = _jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    if platform in ("tpu", "axon") and not getattr(mf, "density_fit",
-                                                   False):
+    df = getattr(mf, "density_fit", False)
+    basis_df = df not in (False, None, "cd")   # 'cd' gradients go direct
+    if platform in ("tpu", "axon") and not basis_df:
         return jnp.asarray(scf_gradient_eager(mf))
     return scf_gradient(mf)
 
@@ -80,6 +81,19 @@ def scf_gradient_eager(mf) -> np.ndarray:
 
     g = np.array(jax.grad(one_e)(jnp.asarray(mol.coords)))
     g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=ax)
+    if func is not None and func.rsh is not None:
+        # LR exchange term: [E(J_lr - beta/2 K_lr)] - [E(J_lr)] isolates
+        # -beta/2 Tr[D K_lr D] with the existing attenuated builders
+        omega, _, beta_r = func.rsh
+        g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=beta_r,
+                                  omega=omega)
+        g -= energy_2e_grad_eager(basis, mol.coords, dm, k_weight=0.0,
+                                  omega=omega)
+    if func is not None and getattr(func, "dispersion", None):
+        from cctpu.dft.dispersion import dispersion_energy
+        g += np.asarray(jax.grad(
+            lambda R: dispersion_energy(func, mol, R))(
+                jnp.asarray(mol.coords)))
     if has_xc:
         g += np.asarray(jax.grad(
             lambda R: mf.exc_of_coords(R, dm))(jnp.asarray(mol.coords)))
@@ -110,7 +124,12 @@ def scf_gradient(mf) -> jnp.ndarray:
         ax = func.hyb
         has_xc = func.exc is not None
 
-    use_df = getattr(mf, "density_fit", False)
+    use_df = getattr(mf, "density_fit", False) not in (False, None, "cd")
+    if not use_df:
+        from cctpu.ints.two_electron import pair_classes, schwarz_q
+        screen_qs = schwarz_q(pair_classes(basis), mol.coords)
+    else:
+        screen_qs = None
 
     def lagrangian(R):
         ints = build_int1e(basis, R, charges)
@@ -131,14 +150,41 @@ def scf_gradient(mf) -> jnp.ndarray:
                  ).reshape(naux, nao, nao)
             Jp = jnp.einsum("pij,ij->p", B, Dtot)
             e2 = 0.5 * jnp.dot(Jp, Jp)
-            if ax:
+            if ax or (func is not None and func.rsh is not None):
                 dms = dm if spin_resolved else 0.5 * dm[None].repeat(2, 0)
+            if ax:
                 ek = sum(jnp.einsum("pik,kl,pjl,ij->", B, dms[s], B, dms[s])
                          for s in range(2))
                 e2 = e2 - 0.5 * ax * ek
+            if func is not None and func.rsh is not None:
+                omega_r, _, beta_r = func.rsh
+                X_lr = build_3c2e(basis, aux, R, omega=omega_r)
+                M_lr = build_2c2e(aux, R, omega=omega_r)
+                wl, Vl = jnp.linalg.eigh(M_lr)
+                keepl = wl > 1e-10 * jnp.max(wl)
+                invl = jnp.where(keepl,
+                                 1.0 / jnp.sqrt(jnp.where(keepl, wl, 1.0)),
+                                 0.0)
+                Bl = ((Vl * invl[None, :]).T @ X_lr.reshape(naux, -1)
+                      ).reshape(naux, nao, nao)
+                ekl = sum(jnp.einsum("pik,kl,pjl,ij->", Bl, dms[s], Bl,
+                                     dms[s]) for s in range(2))
+                e2 = e2 - 0.5 * beta_r * ekl
         else:
-            e2 = energy_2e_direct(basis, R, dm, k_weight=ax)
+            e2 = energy_2e_direct(basis, R, dm, k_weight=ax,
+                                  screen_qs=screen_qs)
+            if func is not None and func.rsh is not None:
+                omega_r, _, beta_r = func.rsh
+                e2 = e2 + (energy_2e_direct(basis, R, dm, k_weight=beta_r,
+                                            omega=omega_r,
+                                            screen_qs=screen_qs)
+                           - energy_2e_direct(basis, R, dm, k_weight=0.0,
+                                              omega=omega_r,
+                                              screen_qs=screen_qs))
         e = e + e2
+        if func is not None and getattr(func, "dispersion", None):
+            from cctpu.dft.dispersion import dispersion_energy
+            e = e + dispersion_energy(func, mol, R)
         if has_xc:
             e = e + mf.exc_of_coords(R, dm)
         if getattr(mf, "_pcm", None) is not None:

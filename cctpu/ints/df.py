@@ -182,31 +182,75 @@ def build_2c2e(aux: BasisSet, coords, omega: Optional[float] = None):
 
 
 def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
-                     omega: Optional[float] = None) -> np.ndarray:
-    """(P|ab) as host numpy, using the cached per-class jitted kernels."""
+                     omega: Optional[float] = None,
+                     screen_tol: float = 1e-12) -> np.ndarray:
+    """(P|ab) as host numpy, using the cached per-class jitted kernels.
+
+    Schwarz screening: AO pairs with Q_ab * max_P Q_P below screen_tol are
+    skipped entirely (|(P|ab)| <= Q_P Q_ab); assembly is a vectorized fancy-
+    index scatter (the per-quartet python loop was the round-1 wall-clock
+    bottleneck at north-star sizes)."""
+    from cctpu.ints.two_electron import schwarz_q
+
     coords = jnp.asarray(coords)
     naux, nao = aux.nao, basis.nao
-    out = np.zeros((naux, nao, nao))
+    # one padding row/col absorbs the chunk-padding scatter
+    out = np.zeros((naux + 1, nao + 1, nao + 1))
     de = jnp.asarray(_DUMMY_E)
     dc = jnp.asarray(_DUMMY_C)
     pcs = pair_classes(basis)
+    qs = schwarz_q(pcs, coords) if screen_tol > 0 else None
+    # aux Schwarz diagonal: Q_P = sqrt((P|P)), exact via the same kernel
+    q_aux_max = 1.0
+    if screen_tol > 0:
+        q_aux_max = 1e-30
+        for lP in sorted(aux.groups):
+            gP = aux.groups[lP]
+            ls = (lP, 0, lP, 0)
+            vkern = _quartet_vmapped(ls, None)
+            n = len(gP.shell_idx)
+            for s in range(0, n, 256):
+                sl = np.arange(s, min(s + 256, n))
+                blk = np.asarray(vkern(
+                    jnp.asarray(gP.exps[sl]), jnp.asarray(gP.coefs[sl]),
+                    coords[gP.atom_idx[sl]],
+                    de[None, :].repeat(len(sl), 0),
+                    dc[None, :].repeat(len(sl), 0),
+                    coords[gP.atom_idx[sl]],
+                    jnp.asarray(gP.exps[sl]), jnp.asarray(gP.coefs[sl]),
+                    coords[gP.atom_idx[sl]],
+                    de[None, :].repeat(len(sl), 0),
+                    dc[None, :].repeat(len(sl), 0),
+                    coords[gP.atom_idx[sl]],
+                ))[:, :, 0, :, 0]                 # [n, sP, sP]
+                diag = np.abs(np.einsum("qaa->qa", blk))
+                q_aux_max = max(q_aux_max, float(np.sqrt(diag.max())))
     for lP in sorted(aux.groups):
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
-        for pc in pcs:
+        sP = nsph(lP)
+        for ipc, pc in enumerate(pcs):
+            pair_sel = np.arange(pc.n, dtype=np.int64)
+            if qs is not None:
+                pair_sel = pair_sel[qs[ipc] * q_aux_max > screen_tol]
+                if len(pair_sel) == 0:
+                    continue
             ls = (lP, 0, pc.la, pc.lb)
             vkern = _quartet_vmapped(ls, omega)
-            q1, q2 = np.mgrid[0:nP, 0:pc.n]
-            q1, q2 = q1.ravel(), q2.ravel()
+            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
+            q1 = q1.ravel()
+            q2 = pair_sel[q2.ravel()]
             chunk = _class_chunk(ls, gP.exps.shape[1], 1,
                                  pc.exps_a.shape[1], pc.exps_b.shape[1])
             nreal = len(q1)
             npad = (-nreal) % chunk
             q1 = np.concatenate([q1, np.zeros(npad, np.int64)])
             q2 = np.concatenate([q2, np.zeros(npad, np.int64)])
-            sP, sa, sb = nsph(lP), nsph(pc.la), nsph(pc.lb)
+            padm = np.concatenate([np.zeros(nreal, bool),
+                                   np.ones(npad, bool)])
+            sa, sb = nsph(pc.la), nsph(pc.lb)
             for s in range(0, len(q1), chunk):
-                s1, s2 = q1[s:s + chunk], q2[s:s + chunk]
+                s1, s2, pm = q1[s:s+chunk], q2[s:s+chunk], padm[s:s+chunk]
                 blocks = np.asarray(vkern(
                     jnp.asarray(gP.exps[s1]), jnp.asarray(gP.coefs[s1]),
                     coords[gP.atom_idx[s1]],
@@ -217,17 +261,20 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
                     coords[pc.atom_a[s2]],
                     jnp.asarray(pc.exps_b[s2]), jnp.asarray(pc.coefs_b[s2]),
                     coords[pc.atom_b[s2]],
-                ))[:, :, 0, :, :]
-                nq = min(chunk, nreal - s)
-                for t in range(max(nq, 0)):
-                    P0 = gP.ao_start[s1[t]]
-                    A0 = pc.ao_a[s2[t]]
-                    B0 = pc.ao_b[s2[t]]
-                    blk = blocks[t]
-                    out[P0:P0+sP, A0:A0+sa, B0:B0+sb] = blk
-                    out[P0:P0+sP, B0:B0+sb, A0:A0+sa] = \
-                        blk.transpose(0, 2, 1)
-    return out
+                ))[:, :, 0, :, :]                   # [chunk, sP, sa, sb]
+                P_idx = np.where(pm[:, None], naux,
+                                 gP.ao_start[s1][:, None] + np.arange(sP))
+                A_idx = np.where(pm[:, None], nao,
+                                 pc.ao_a[s2][:, None] + np.arange(sa))
+                B_idx = np.where(pm[:, None], nao,
+                                 pc.ao_b[s2][:, None] + np.arange(sb))
+                pi = P_idx[:, :, None, None]
+                ai = A_idx[:, None, :, None]
+                bi = B_idx[:, None, None, :]
+                out[pi, ai, bi] = blocks
+                out[pi, bi.swapaxes(2, 3), ai.swapaxes(2, 3)] = \
+                    blocks.swapaxes(2, 3)
+    return out[:naux, :nao, :nao]
 
 
 def build_2c2e_eager(aux: BasisSet, coords,
@@ -280,7 +327,123 @@ def build_2c2e_eager(aux: BasisSet, coords,
     return out
 
 
-class DFJK:
+def cholesky_B(mol, coords=None, tol: float = 1e-9) -> np.ndarray:
+    """Pivoted (Beebe–Linderberg) Cholesky decomposition of the ERI
+    supermatrix: (ij|kl) = sum_P B[P,i,j] B[P,k,l] with residual diagonal
+    below ``tol`` — so |E_DF - E_incore| is bounded by ~tol by
+    construction, unlike basis-set density fitting whose even-tempered /
+    JKFIT error floor is ~1e-6 Ha (measured in tests/test_df_accuracy.py).
+
+    In-core variant: O(nao^4) memory — the tight-accuracy mode for small
+    and medium systems (the BASELINE.json 1e-8 contract); production-scale
+    runs use the autoaux DF above.
+    """
+    from cctpu.ints.two_electron import build_eri_incore
+
+    c = np.asarray(mol.coords if coords is None else coords)
+    eri = np.asarray(build_eri_incore(mol.basis_set, c))
+    n = eri.shape[0]
+    M = eri.reshape(n * n, n * n)
+    diag = np.diagonal(M).copy()
+    order = []
+    vecs = []
+    for _ in range(n * n):
+        p = int(np.argmax(diag))
+        dmax = diag[p]
+        if dmax < tol:
+            break
+        col = M[:, p].copy()
+        for v in vecs:
+            col -= v * v[p]
+        v = col / np.sqrt(dmax)
+        vecs.append(v)
+        diag -= v * v
+        diag = np.maximum(diag, 0.0)
+        order.append(p)
+    B = np.stack(vecs).reshape(len(vecs), n, n)
+    # symmetrize (numerical asymmetry from pivoting on the full square)
+    return 0.5 * (B + B.transpose(0, 2, 1))
+
+
+class _BContractions:
+    """Shared J/K contractions over a factor tensor B [naux, nao, nao]
+    ((ij|kl) ~= sum_P B[P,i,j] B[P,k,l]) — used by both basis-set DF and
+    pivoted-Cholesky builders. Pallas TPU kernels in f32."""
+
+    def prepare_dtype(self, dtype):
+        """Eagerly cache the cast B (must run OUTSIDE any jit trace —
+        assigning inside a trace would leak a tracer)."""
+        if dtype != self.B.dtype:
+            self._B_cast = self.B.astype(dtype)
+
+    def _cast_B(self, dtype):
+        if dtype == self.B.dtype:
+            return self.B
+        cached = getattr(self, "_B_cast", None)
+        if cached is not None and cached.dtype == dtype:
+            return cached
+        return self.B.astype(dtype)   # inside-trace: constant-folded
+
+    @staticmethod
+    def _use_pallas(dtype) -> bool:
+        from cctpu.ops.df_jk_pallas import _on_tpu
+        return dtype == jnp.float32 and _on_tpu()
+
+    def _k_of(self, B, dm, cocc):
+        """Exchange via B: occupied-orbital form when cocc is given
+        (exact for dm = C C^T; C columns carry sqrt(occupation)), else
+        the dm contraction. Pallas kernels on TPU in f32."""
+        if cocc is None:
+            return jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
+        if isinstance(cocc, (tuple, list)):          # spin-resolved
+            return jnp.stack([self._k_of(B, None, c) for c in cocc])
+        if self._use_pallas(cocc.dtype):
+            from cctpu.ops.df_jk_pallas import df_k_fast
+            return df_k_fast(B, cocc)
+        W = jnp.einsum("pik,ka->pia", B, cocc)
+        return jnp.einsum("pia,pja->ij", W, W)
+
+    def __call__(self, dm, with_k: bool = True, cocc=None):
+        B = self._cast_B(dm.dtype)
+        if dm.ndim == 2 and self._use_pallas(dm.dtype):
+            from cctpu.ops.df_jk_pallas import df_j_fast
+            J = df_j_fast(B, dm)
+        else:
+            Jp = jnp.einsum("pij,...ij->...p", B, dm)
+            J = jnp.einsum("...p,pij->...ij", Jp, B)
+        K = self._k_of(B, dm, cocc) if with_k else None
+        return J, K
+
+
+class CholeskyJK(_BContractions):
+    """J/K builder backed by pivoted-Cholesky vectors (exact to ``tol``).
+
+    Same call contract as DFJK, so every SCF/response path (incl. the
+    Pallas f32 kernels) works unchanged.
+    """
+
+    def __init__(self, mol, coords=None, tol: float = 1e-9):
+        self.B = jnp.asarray(cholesky_B(mol, coords, tol=tol))
+        self._mol = mol
+        self._coords = jnp.asarray(mol.coords if coords is None else coords)
+        self._eri_lr = {}
+
+    def k_lr(self, dm, omega: float, cocc=None):
+        if omega not in self._eri_lr:
+            # LR exchange via the attenuated in-core ERI (exact)
+            from cctpu.ints.two_electron import build_eri_incore
+            self._eri_lr[omega] = jnp.asarray(build_eri_incore(
+                self._mol.basis_set, np.asarray(self._coords), omega=omega))
+        eri = self._eri_lr[omega]
+        eri = eri.astype(dm.dtype if dm is not None else jnp.float64)
+        return jnp.einsum("ikjl,...kl->...ij", eri, dm)
+
+    def prepare_lr(self, omega: float):
+        if omega not in self._eri_lr:
+            self.k_lr(jnp.zeros((self._mol.nao, self._mol.nao)), omega)
+
+
+class DFJK(_BContractions):
     """Density-fitted J/K builder.
 
     B[P,i,j] = sum_Q L^{-1}[P,Q] (Q|ij) with (P|Q) = L L^T, so
@@ -288,9 +451,11 @@ class DFJK:
       K(D)  = einsum('pik,kl,pjl->ij', B, D, B).
     """
 
-    def __init__(self, mol, coords=None, beta: float = 1.8):
+    def __init__(self, mol, coords=None, beta: float = 1.8,
+                 extra_l: int = 2, lmax_cap: int = 4):
         basis = mol.basis_set
-        self.aux = autoaux(basis, beta=beta)
+        self.aux = autoaux(basis, beta=beta, extra_l=extra_l,
+                           lmax_cap=lmax_cap)
         c = jnp.asarray(mol.coords if coords is None else coords)
         # Eager per-class assembly: each quartet-class kernel is a small,
         # persistently-cached XLA module (one giant traced module makes the
@@ -324,36 +489,21 @@ class DFJK:
         B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
         return B.reshape(naux, nao, nao)
 
-    def prepare_dtype(self, dtype):
-        """Eagerly cache the cast B (must run OUTSIDE any jit trace —
-        assigning inside a trace would leak a tracer)."""
-        if dtype != self.B.dtype:
-            self._B_cast = self.B.astype(dtype)
-
-    def _cast_B(self, dtype):
-        if dtype == self.B.dtype:
-            return self.B
-        cached = getattr(self, "_B_cast", None)
-        if cached is not None and cached.dtype == dtype:
-            return cached
-        return self.B.astype(dtype)   # inside-trace: constant-folded, no cache
-
-    def __call__(self, dm, with_k: bool = True):
-        B = self._cast_B(dm.dtype)
-        Jp = jnp.einsum("pij,...ij->...p", B, dm)
-        J = jnp.einsum("...p,pij->...ij", Jp, B)
-        K = (jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
-             if with_k else None)
-        return J, K
-
     def prepare_lr(self, omega: float):
         self._ensure_lr(omega)
 
-    def k_lr(self, dm, omega: float):
+    def k_lr(self, dm, omega: float, cocc=None):
         """Long-range exchange via attenuated-metric DF:
         K_lr ~ X_lr M_lr^{-1} X_lr with both factors erf-attenuated."""
         self._ensure_lr(omega)
-        B = self._B_lr[omega].astype(dm.dtype)
+        B = self._B_lr[omega].astype(dm.dtype if dm is not None
+                                     else jnp.float64)
+        if cocc is not None:
+            if not isinstance(cocc, (tuple, list)):
+                B = B.astype(cocc.dtype)
+            else:
+                B = B.astype(cocc[0].dtype)
+            return self._k_of(B, dm, cocc)
         return jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
 
     def _ensure_lr(self, omega: float):

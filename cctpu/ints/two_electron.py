@@ -131,7 +131,8 @@ def eri_quartet_kernel(ls: Tuple[int, int, int, int],
 
 def energy_2e_direct(basis: BasisSet, coords, dm, k_weight: float = 0.5,
                      omega: Optional[float] = None,
-                     dm_k=None, omega_k: Optional[float] = None):
+                     dm_k=None, omega_k: Optional[float] = None,
+                     screen_qs=None, screen_tol: float = 1e-13):
     """E_2e = 1/2 sum D J(D) - k_weight/2 * sum D K(D), fully differentiable.
 
     Never materializes the nao^4 tensor: each unique shell quartet's block is
@@ -163,13 +164,22 @@ def energy_2e_direct(basis: BasisSet, coords, dm, k_weight: float = 0.5,
     e_j = 0.0
     e_k = 0.0
     for i1, p1 in enumerate(pcs):
-        for p2 in pcs[i1:]:
+        for j2, p2 in enumerate(pcs[i1:]):
             same = p1 is p2
             q1, q2 = np.mgrid[0:p1.n, 0:p2.n]
             q1, q2 = q1.ravel(), q2.ravel()
             if same:
                 keep = q1 <= q2
                 q1, q2 = q1[keep], q2[keep]
+            if screen_qs is not None:
+                # Schwarz bound |(ab|cd)| <= Q_ab Q_cd — drop negligible
+                # quartets (coords-independent mask from the reference
+                # geometry, so the traced gradient path can use it too)
+                keep = (screen_qs[i1][q1] * screen_qs[i1 + j2][q2]
+                        > screen_tol)
+                q1, q2 = q1[keep], q2[keep]
+                if len(q1) == 0:
+                    continue
 
             # multiplicities w1*w2*wbk (see derivation in grad tests)
             w1 = np.where(np.asarray(p1.ia)[q1] == np.asarray(p1.ib)[q1]
@@ -294,15 +304,20 @@ def energy_2e_grad_eager(basis: BasisSet, coords, dm, k_weight: float = 1.0,
         Dks = jnp.pad(dm, ((0, 1), (0, 1)))[None]
 
     pcs = pair_classes(basis)
+    qs = schwarz_q(pcs, coords)
     gtot = np.zeros(coords.shape)
     for i1, p1 in enumerate(pcs):
-        for p2 in pcs[i1:]:
+        for j2, p2 in enumerate(pcs[i1:]):
             same = p1 is p2
             q1, q2 = np.mgrid[0:p1.n, 0:p2.n]
             q1, q2 = q1.ravel(), q2.ravel()
             if same:
                 keep = q1 <= q2
                 q1, q2 = q1[keep], q2[keep]
+            keep = qs[i1][q1] * qs[i1 + j2][q2] > 1e-13
+            q1, q2 = q1[keep], q2[keep]
+            if len(q1) == 0:
+                continue
             w1 = np.where(np.asarray(p1.ia)[q1] == np.asarray(p1.ib)[q1]
                           if p1.la == p1.lb else np.zeros(len(q1), bool),
                           1.0, 2.0)
@@ -394,6 +409,42 @@ def pair_classes(basis: BasisSet) -> List[PairClass]:
             pc = PairClass(basis, la, lb)
             if pc.n:
                 out.append(pc)
+    return out
+
+
+def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
+    """Schwarz factors per pair class: Q[pair] = sqrt(max_ab |(ab|ab)|).
+
+    |(ab|cd)| <= Q_ab * Q_cd (Cauchy–Schwarz on the ERI inner product), the
+    standard CVHF-style screening bound (SURVEY.md §2.2 libcint row, §7.3
+    item 1). Host-side, evaluated once per geometry."""
+    coords = jnp.asarray(coords)
+    out = []
+    for pc in pcs:
+        ls = (pc.la, pc.lb, pc.la, pc.lb)
+        vkern = _quartet_vmapped(ls, None)
+        chunk = _class_chunk(ls, pc.exps_a.shape[1], pc.exps_b.shape[1],
+                             pc.exps_a.shape[1], pc.exps_b.shape[1])
+        q = np.zeros(pc.n)
+        idx = np.arange(pc.n, dtype=np.int64)
+        npad = (-pc.n) % chunk
+        idxp = np.concatenate([idx, np.zeros(npad, np.int64)])
+        for s in range(0, len(idxp), chunk):
+            sl = idxp[s:s + chunk]
+            blocks = np.asarray(vkern(
+                jnp.asarray(pc.exps_a[sl]), jnp.asarray(pc.coefs_a[sl]),
+                coords[pc.atom_a[sl]],
+                jnp.asarray(pc.exps_b[sl]), jnp.asarray(pc.coefs_b[sl]),
+                coords[pc.atom_b[sl]],
+                jnp.asarray(pc.exps_a[sl]), jnp.asarray(pc.coefs_a[sl]),
+                coords[pc.atom_a[sl]],
+                jnp.asarray(pc.exps_b[sl]), jnp.asarray(pc.coefs_b[sl]),
+                coords[pc.atom_b[sl]]))      # [chunk, sa, sb, sa, sb]
+            diag = np.abs(np.einsum("qabab->qab", blocks))
+            nq = min(chunk, pc.n - s)
+            if nq > 0:
+                q[s:s + nq] = np.sqrt(diag.max(axis=(1, 2)))[:nq]
+        out.append(q)
     return out
 
 

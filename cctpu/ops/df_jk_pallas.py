@@ -9,11 +9,13 @@ of B through VMEM once, computing
     K[i,j]  = sum_p (B[p] C)_ia (B[p] C)_ja      (occupied-orbital form)
 with MXU matmuls and f32 accumulation in VMEM scratch. They power the f32
 "fast" SCF mode (see scf/hf.py precision option); the f64 reference path
-stays on XLA einsums (Mosaic has no f64).
+stays on XLA einsums (Mosaic has no f64). Wired into ints/df.py DFJK as the
+TPU production path since round 2 (VERDICT.md round-1 item #1).
 
-Grid layout: 1-D grid over naux tiles; K accumulates into a single VMEM
+Grid layout: 1-D grid over naux tiles; J/K accumulate into a single VMEM
 block across grid steps (output block index constant), the canonical
-matmul-accumulation pattern from the Pallas TPU guide.
+matmul-accumulation pattern from the Pallas TPU guide. Tile sizes adapt to
+keep each VMEM block under ~4 MB.
 """
 
 from __future__ import annotations
@@ -29,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _tile_rows(ncols: int, budget_bytes: int = 4 * 1024 * 1024,
+               lo: int = 1, hi: int = 256) -> int:
+    """Rows per VMEM block so a [rows, ncols] f32 tile stays under budget."""
+    rows = budget_bytes // max(ncols * 4, 1)
+    return int(max(lo, min(hi, rows)))
 
 
 def _jp_kernel(b_ref, d_ref, out_ref):
@@ -47,19 +56,24 @@ def _j_kernel(b_ref, jp_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     out_ref[:] += jnp.dot(jp_ref[:].T, b_ref[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def _k_kernel(w_ref, out_ref):
-    # w_ref: [TP * nocc_pad? ...] — see wrapper: w [TP, nao, nocc] flattened
+    # w_ref: [TR, nao] rows of W = (B C) flattened over (p, occ);
+    # accumulate K += W_tile^T W_tile into the fixed [nao, nao] block
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    W = w_ref[:]                       # [TP*nocc, nao]
-    out_ref[:] += jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+    W = w_ref[:]
+    # HIGHEST: true-f32 MXU passes — default single-pass bf16 gives only
+    # ~1e-3 relative accuracy, breaking the f32 SCF phase's 3e-5 DIIS floor
+    out_ref[:] += jnp.dot(W.T, W, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def _on_tpu():
@@ -69,67 +83,89 @@ def _on_tpu():
         return False
 
 
-@partial(jax.jit, static_argnames=("tile_p", "interpret"))
-def df_jk_fast(B, D, Cocc, tile_p: int = 8, interpret: bool = False):
-    """f32 Pallas DF J/K. B [naux,nao,nao], D [nao,nao], Cocc [nao,nocc].
+@partial(jax.jit, static_argnames=("interpret",))
+def df_j_fast(B, D, interpret: bool = False):
+    """f32 Pallas DF Coulomb: J = B^T (B . D). B [naux,nao,nao], D [nao,nao].
 
-    Returns (J, K) in f32. naux is padded to a tile multiple; nao^2 is the
-    lane dimension (>=128 for real systems).
-    """
+    Traced under enable_x64(False): with global x64 the BlockSpec index-map
+    literals lower as i64 and Mosaic fails to legalize ("func.return
+    (i32, i64)") on the v5e AOT compiler."""
     B = B.astype(jnp.float32)
     D = D.astype(jnp.float32)
-    Cocc = Cocc.astype(jnp.float32)
     naux, nao, _ = B.shape
-    nocc = Cocc.shape[1]
     nao2 = nao * nao
+    tile_p = _tile_rows(nao2)
     naux_p = _round_up(naux, tile_p)
     Bf = jnp.pad(B.reshape(naux, nao2), ((0, naux_p - naux), (0, 0)))
     dvec = D.reshape(1, nao2)
 
     grid = (naux_p // tile_p,)
-    Jp = pl.pallas_call(
-        _jp_kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec((tile_p, nao2), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, nao2), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile_p, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((naux_p, 1), jnp.float32),
-        interpret=interpret,
-    )(Bf, dvec)
+    with jax.enable_x64(False):
+        Jp = pl.pallas_call(
+            _jp_kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((tile_p, nao2), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, nao2), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile_p, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((naux_p, 1), jnp.float32),
+            interpret=interpret,
+        )(Bf, dvec)
 
-    J = pl.pallas_call(
-        _j_kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec((tile_p, nao2), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((tile_p, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, nao2), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, nao2), jnp.float32),
-        interpret=interpret,
-    )(Bf, Jp).reshape(nao, nao)
+        J = pl.pallas_call(
+            _j_kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((tile_p, nao2), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((tile_p, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, nao2), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, nao2), jnp.float32),
+            interpret=interpret,
+        )(Bf, Jp).reshape(nao, nao)
+    return J
 
-    # K: W[p,i,a] = sum_k B[p,i,k] C[k,a]; K = sum over (p,a) of outer(W,W)
+
+@partial(jax.jit, static_argnames=("interpret",))
+def df_k_fast(B, Cocc, interpret: bool = False):
+    """f32 Pallas DF exchange, occupied-orbital form:
+    W[p,a,:] = C^T B[p]; K = sum_{p,a} W W^T. Cocc [nao, nocc] carries the
+    occupation scaling (columns * sqrt(n_i)), so K(D) with D = C C^T."""
+    B = B.astype(jnp.float32)
+    Cocc = Cocc.astype(jnp.float32)
+    naux, nao, _ = B.shape
+    nocc = Cocc.shape[1]
+    # W = (B C)^T per aux: MXU matmul outside the kernel (XLA), streaming
+    # accumulation of W^T W inside.
     W = jnp.einsum("pik,ka->pai", B, Cocc,
-                   preferred_element_type=jnp.float32)   # [naux, nocc, nao]
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [naux, nocc, nao]
     W = W.reshape(naux * nocc, nao)
-    rows = _round_up(W.shape[0], tile_p)
+    tile_r = _tile_rows(nao)
+    rows = _round_up(W.shape[0], tile_r)
     Wp = jnp.pad(W, ((0, rows - W.shape[0]), (0, 0)))
-    K = pl.pallas_call(
-        _k_kernel,
-        grid=(rows // tile_p,),
-        in_specs=[pl.BlockSpec((tile_p, nao), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((nao, nao), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nao, nao), jnp.float32),
-        interpret=interpret,
-    )(Wp)
-    return J, K
+    with jax.enable_x64(False):
+        K = pl.pallas_call(
+            _k_kernel,
+            grid=(rows // tile_r,),
+            in_specs=[pl.BlockSpec((tile_r, nao), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((nao, nao), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nao, nao), jnp.float32),
+            interpret=interpret,
+        )(Wp)
+    return K
+
+
+def df_jk_fast(B, D, Cocc, tile_p: int = 8, interpret: bool = False):
+    """f32 Pallas DF J and K together (kept for tests/back-compat)."""
+    del tile_p
+    return (df_j_fast(B, D, interpret=interpret),
+            df_k_fast(B, Cocc, interpret=interpret))
 
 
 def df_jk(B, D, Cocc, tile_p: int = 8):

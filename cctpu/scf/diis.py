@@ -43,22 +43,31 @@ def diis_update(state: DIISState, fock: jnp.ndarray,
     count = jnp.minimum(state.count + 1, m)
     head = (state.head + 1) % m
 
+    dt = errs.dtype          # follow the SCF precision — a stray f64 here
+    # would drag the whole step into emulated-f64 on TPU (round-1 bench
+    # pathology: f32 step 15x slower than f64)
     B = errs @ errs.T                                     # [m, m]
     active = (jnp.arange(m) < count)
     # Masked augmented system:
     #   [B  -1][c]   [0]
     #   [-1  0][l] = [-1]
-    big = jnp.zeros((m + 1, m + 1))
+    big = jnp.zeros((m + 1, m + 1), dt)
     mask2 = active[:, None] & active[None, :]
-    big = big.at[:m, :m].set(jnp.where(mask2, B, 0.0))
+    big = big.at[:m, :m].set(jnp.where(mask2, B, 0.0).astype(dt))
     # Identity rows for inactive slots keep the system nonsingular.
-    big = big.at[:m, :m].add(jnp.diag(jnp.where(active, 0.0, 1.0)))
-    big = big.at[:m, m].set(jnp.where(active, -1.0, 0.0))
-    big = big.at[m, :m].set(jnp.where(active, -1.0, 0.0))
-    rhs = jnp.zeros(m + 1).at[m].set(-1.0)
+    big = big.at[:m, :m].add(jnp.diag(jnp.where(active, 0.0, 1.0)).astype(dt))
+    big = big.at[:m, m].set(jnp.where(active, -1.0, 0.0).astype(dt))
+    big = big.at[m, :m].set(jnp.where(active, -1.0, 0.0).astype(dt))
+    rhs = jnp.zeros(m + 1, dt).at[m].set(-1.0)
 
-    # Least-squares solve for robustness against near-singular B.
-    sol = jnp.linalg.lstsq(big, rhs)[0]
-    c = jnp.where(active, sol[:m], 0.0)
+    # Symmetric pseudo-inverse solve (eigh is cheap and TPU-native; lstsq's
+    # SVD is the slowest decomposition on the backend and not needed).
+    w, V = jnp.linalg.eigh(big)
+    tol = jnp.asarray(1e-7 if dt == jnp.float32 else 1e-14, dt)
+    wmax = jnp.max(jnp.abs(w))
+    keep = jnp.abs(w) > tol * jnp.maximum(wmax, 1.0)
+    winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    sol = V @ (winv * (V.T @ rhs))
+    c = jnp.where(active, sol[:m], 0.0).astype(dt)
     f_new = c @ focks
     return DIISState(focks, errs, count, head), f_new.reshape(shape)

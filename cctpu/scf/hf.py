@@ -38,7 +38,8 @@ class IncoreJK:
         self.eri = jnp.asarray(build_eri_incore(mol.basis_set, self._coords))
         self._eri_lr = {}
 
-    def __call__(self, dm, with_k: bool = True):
+    def __call__(self, dm, with_k: bool = True, cocc=None):
+        del cocc                         # in-core path contracts dm directly
         eri = self._cast_eri(dm.dtype)
         J = jnp.einsum("ijkl,...kl->...ij", eri, dm)
         K = jnp.einsum("ikjl,...kl->...ij", eri, dm) if with_k else None
@@ -61,11 +62,30 @@ class IncoreJK:
             self._eri_lr[omega] = jnp.asarray(build_eri_incore(
                 self._mol.basis_set, self._coords, omega=omega))
 
-    def k_lr(self, dm, omega: float):
+    def k_lr(self, dm, omega: float, cocc=None):
         """Long-range (erf-attenuated) exchange for RSH functionals.
         (prepare_lr must run before tracing — the builder is host-side.)"""
+        del cocc
         self.prepare_lr(omega)
         return jnp.einsum("ikjl,...kl->...ij", self._eri_lr[omega], dm)
+
+
+def _aufbau_configuration(z: int) -> dict:
+    """Ground-state electron counts keyed by (l, shell-index-within-l),
+    e.g. (0,0)=1s, (1,1)=3p. Aufbau order (Madelung), ignoring the handful
+    of transition-metal exceptions — fine for an initial-guess density."""
+    order = [(0, 0, 2), (0, 1, 2), (1, 0, 6), (0, 2, 2), (1, 1, 6),
+             (0, 3, 2), (2, 0, 10), (1, 2, 6), (0, 4, 2), (2, 1, 10),
+             (1, 3, 6), (0, 5, 2), (3, 0, 14), (2, 2, 10), (1, 4, 6)]
+    conf = {}
+    left = int(z)
+    for l, k, cap in order:
+        if left <= 0:
+            break
+        take = min(left, cap)
+        conf[(l, k)] = float(take)
+        left -= take
+    return conf
 
 
 def _minao_guess(mol: Molecule) -> np.ndarray:
@@ -90,19 +110,23 @@ def _minao_guess(mol: Molecule) -> np.ndarray:
     S_mol = S_all[:n1, :n1]
     S_cross = S_all[:n1, n1:]
 
-    # aufbau occupancies in the minimal basis (H-Ne coverage):
-    # per atom STO-3G AOs are [1s] (H/He) or [1s, 2s, 2px, 2py, 2pz]
+    # aufbau occupancies in the minimal basis: walk each atom's STO-3G
+    # shells (ordered 1s, 2sp, 3sp, [3d], 4sp, ... by construction) and
+    # fill from the element's ground configuration, spherically averaged
+    # over each open shell
     occ = []
-    for sym, z in zip(mol.element_symbols, mol.charges.astype(int)):
-        nmin = 1 if elem.symbol_to_z(sym) <= 2 else 5
-        if z == 0:              # ghost atom: basis without electrons
-            occ += [0.0] * nmin
-        elif z <= 2:
-            occ += [float(z)]
-        else:
-            s2 = float(min(z - 2, 2))
-            p = float(max(z - 4, 0))
-            occ += [2.0, s2] + [p / 3.0] * 3
+    for ia, (sym, z) in enumerate(zip(mol.element_symbols,
+                                      mol.charges.astype(int))):
+        zel = elem.symbol_to_z(sym.split(":")[-1] if ":" in sym else sym)
+        conf = _aufbau_configuration(zel if z != 0 else 0)
+        counts = {0: 0, 1: 0, 2: 0, 3: 0}   # per-l shell counter
+        for sh in min_bs.shells:
+            if sh.atom != ia:
+                continue
+            k = counts[sh.l]
+            counts[sh.l] = k + 1
+            ne = conf.get((sh.l, k), 0.0) if z != 0 else 0.0
+            occ += [ne / (2 * sh.l + 1)] * (2 * sh.l + 1)
     occ = np.array(occ)
     G = np.linalg.solve(S_mol, S_cross)
     dm = (G * occ[None, :]) @ G.T
@@ -195,7 +219,12 @@ class SCFBase:
 
     def get_jk_builder(self):
         if self._jk is None:
-            if self.density_fit:
+            if self.density_fit == "cd":
+                # pivoted-Cholesky factorization: |E - E_incore| bounded by
+                # the decomposition tol (the 1e-8 accuracy contract)
+                from cctpu.ints.df import CholeskyJK
+                self._jk = CholeskyJK(self.mol, self.coords)
+            elif self.density_fit:
                 from cctpu.ints.df import DFJK
                 self._jk = DFJK(self.mol, self.coords)
             else:
@@ -203,9 +232,25 @@ class SCFBase:
         return self._jk
 
     # -- model-specific pieces (overridden by RKS/UKS) ------------------------
-    def get_veff(self, dm):
-        """Effective 2e potential + its energy. HF: J - 0.5K (restricted)."""
+    def get_veff(self, dm, cocc=None):
+        """Effective 2e potential + its energy. HF: J - 0.5K (restricted).
+        cocc: occupied orbitals (columns scaled by sqrt(occupation)) —
+        enables the occupied-orbital exchange form (Pallas on TPU)."""
         raise NotImplementedError
+
+    def _factor_cocc(self, dm):
+        """Occupied-orbital factor of a density matrix: top-n eigenpairs,
+        columns scaled by sqrt(eigenvalue). Exact for idempotent dm; for a
+        guess dm the truncation error only perturbs the first Fock."""
+        def one(d, nocc):
+            w, U = jnp.linalg.eigh(d)
+            w = jnp.clip(w[::-1], 0.0, None)
+            U = U[:, ::-1]
+            return U[:, :nocc] * jnp.sqrt(w[None, :nocc])
+        if dm.ndim == 3:
+            return (one(dm[0], max(self.mol.nalpha, 1)),
+                    one(dm[1], max(self.mol.nbeta, 1)))
+        return one(dm, max(self.mol.nelectron // 2, 1))
 
     def init_guess_dm(self, kind: str = "minao"):
         """'minao': superposition of spherically-averaged atomic densities
@@ -251,11 +296,16 @@ class SCFBase:
         func = getattr(self, "func", None)
         if func is not None and func.rsh is not None:
             self._jk.prepare_lr(func.rsh[0])
+        # classical terms constant in dm: nuclear repulsion + dispersion
         e_nuc = float(self.mol.energy_nuc())
+        if func is not None and getattr(func, "dispersion", None):
+            from cctpu.dft.dispersion import dispersion_energy
+            e_nuc += float(dispersion_energy(func, self.mol))
         conv_tol_grad = o.conv_tol_grad or max(np.sqrt(o.conv_tol), 1e-7)
 
         t0 = time.time()
         cycle = 0
+        cocc = self._factor_cocc(dm)
         if o.precision in ("mixed", "f32"):
             # phase 1: native-f32 iterations (MXU speed); the DIIS error
             # floor in f32 is ~3e-6, plenty to hand a converged-shape
@@ -270,27 +320,36 @@ class SCFBase:
             diis32 = diis_init(o.diis_space, self._diis_size(dm),
                                dtype=f32)
             dm32 = dm.astype(f32)
+            cocc32 = jax.tree.map(lambda c: c.astype(f32), cocc)
             e_last = 0.0
+            conv32 = False
             for cycle in range(o.max_cycle):
                 use_diis = cycle >= o.diis_start
-                diis32, dm32, e_elec, err_norm, mo_e, mo_c = step32(
-                    diis32, dm32, jnp.asarray(use_diis))
+                # 'highest' matmul precision: TPU f32 matmuls default to
+                # single-pass bf16 (~1e-3 relative) which floors the DIIS
+                # error above the f32 exit threshold
+                with jax.default_matmul_precision("highest"):
+                    (diis32, dm32, cocc32, e_elec, err_norm, mo_e,
+                     mo_c) = step32(diis32, dm32, cocc32,
+                                    jnp.asarray(use_diis))
                 e_tot = float(e_elec) + e_nuc
                 de = e_tot - e_last
                 if o.verbose >= 2:
                     print(f"cycle {cycle:3d} [f32]  E = {e_tot:.8f}  "
                           f"dE = {de: .3e}  |g| = {float(err_norm):.3e}")
                 if abs(de) < 1e-6 and float(err_norm) < 3e-5 and cycle > 0:
+                    conv32 = True
                     break
                 e_last = e_tot
             dm = dm32.astype(jnp.float64)
+            cocc = jax.tree.map(lambda c: c.astype(jnp.float64), cocc32)
             if o.precision == "f32":
                 self.e_tot = e_tot
                 self.mo_energy = mo_e
                 self.mo_coeff = mo_c
                 self.mo_occ = self._occ(mo_e)
                 self.dm = dm
-                self.converged = True
+                self.converged = conv32
                 return self.e_tot
 
         diis = diis_init(o.diis_space, self._diis_size(dm))
@@ -302,9 +361,11 @@ class SCFBase:
             dm_in = dm
             if o.damp > 0 and cycle > 0:
                 dm_in = (1 - o.damp) * dm + o.damp * dm_last
+                # damped dm no longer matches cocc's factorization
+                cocc = self._factor_cocc(dm_in)
             use_diis = cycle >= o.diis_start
-            diis, dm_new, e_elec, err_norm, mo_e, mo_c = step(
-                diis, dm_in, jnp.asarray(use_diis))
+            diis, dm_new, cocc, e_elec, err_norm, mo_e, mo_c = step(
+                diis, dm_in, cocc, jnp.asarray(use_diis))
             e_tot = float(e_elec) + e_nuc
             de = e_tot - e_last
             if o.verbose >= 2:
@@ -374,8 +435,8 @@ class RHF(SCFBase):
         occ = occ_rhf(e, self.mol.nelectron)
         return (C * occ[None, :]) @ C.T
 
-    def get_veff(self, dm):
-        J, K = self._jk(dm)
+    def get_veff(self, dm, cocc=None):
+        J, K = self._jk(dm, cocc=cocc)
         veff = J - 0.5 * K
         ecoul = 0.5 * jnp.einsum("ij,ij->", dm, J)
         exx = -0.25 * jnp.einsum("ij,ij->", dm, K)
@@ -383,10 +444,11 @@ class RHF(SCFBase):
 
     def _make_step(self, H, S, X):
         nelec = self.mol.nelectron
+        nocc = max(nelec // 2, 1)
         ls = self.opts.level_shift
 
-        def step(diis, dm, use_diis):
-            veff, e2 = self.get_veff(dm)
+        def step(diis, dm, cocc, use_diis):
+            veff, e2 = self.get_veff(dm, cocc=cocc)
             F = H + veff
             e_elec = jnp.einsum("ij,ij->", dm, H) + e2
             # DIIS error in AO: S D F - F D S (orthonormalized)
@@ -400,7 +462,8 @@ class RHF(SCFBase):
             mo_e, mo_c = _fock_eig(F_use, X)
             occ = occ_rhf(mo_e, nelec)
             dm_new = (mo_c * occ[None, :]) @ mo_c.T
-            return diis, dm_new, e_elec, err_norm, mo_e, mo_c
+            cocc_new = mo_c[:, :nocc] * jnp.sqrt(occ[None, :nocc])
+            return diis, dm_new, cocc_new, e_elec, err_norm, mo_e, mo_c
 
         return step
 
@@ -420,8 +483,8 @@ class UHF(SCFBase):
         dmb = (Cb * occ[1][None, :]) @ Cb.T
         return jnp.stack([dma, dmb])
 
-    def get_veff(self, dm):
-        J, K = self._jk(dm)                     # [2, n, n] each
+    def get_veff(self, dm, cocc=None):
+        J, K = self._jk(dm, cocc=cocc)          # [2, n, n] each
         Jtot = J[0] + J[1]
         veff = jnp.stack([Jtot - K[0], Jtot - K[1]])
         ecoul = 0.5 * jnp.einsum("sij,ij->", dm, Jtot)
@@ -430,10 +493,11 @@ class UHF(SCFBase):
 
     def _make_step(self, H, S, X):
         na, nb = self.mol.nalpha, self.mol.nbeta
+        na_c, nb_c = max(na, 1), max(nb, 1)
         ls = self.opts.level_shift
 
-        def step(diis, dm, use_diis):
-            veff, e2 = self.get_veff(dm)
+        def step(diis, dm, cocc, use_diis):
+            veff, e2 = self.get_veff(dm, cocc=cocc)
             F = H[None] + veff                  # [2, n, n]
             e_elec = jnp.einsum("sij,ij->", dm, H) + e2
             errs = []
@@ -453,7 +517,9 @@ class UHF(SCFBase):
             occ = occ_uhf(jnp.stack([ea, eb]), na, nb)
             dma = (Ca * occ[0][None, :]) @ Ca.T
             dmb = (Cb * occ[1][None, :]) @ Cb.T
-            return (diis, jnp.stack([dma, dmb]), e_elec, err_norm,
+            cocc_new = (Ca[:, :na_c] * jnp.sqrt(occ[0][None, :na_c]),
+                        Cb[:, :nb_c] * jnp.sqrt(occ[1][None, :nb_c]))
+            return (diis, jnp.stack([dma, dmb]), cocc_new, e_elec, err_norm,
                     jnp.stack([ea, eb]), jnp.stack([Ca, Cb]))
 
         return step
@@ -480,10 +546,11 @@ class ROHF(UHF):
 
     def _make_step(self, H, S, X):
         na, nb = self.mol.nalpha, self.mol.nbeta
+        na_c, nb_c = max(na, 1), max(nb, 1)
         n = self.mol.nao
 
-        def step(diis, dm, use_diis):
-            veff, e2 = self.get_veff(dm)
+        def step(diis, dm, cocc, use_diis):
+            veff, e2 = self.get_veff(dm, cocc=cocc)
             Fa = H + veff[0]
             Fb = H + veff[1]
             e_elec = jnp.einsum("sij,ij->", dm, H) + e2
@@ -509,7 +576,9 @@ class ROHF(UHF):
             occ = occ_uhf(jnp.stack([mo_e, mo_e]), na, nb)
             dma = (mo_c * occ[0][None, :]) @ mo_c.T
             dmb = (mo_c * occ[1][None, :]) @ mo_c.T
-            return (diis, jnp.stack([dma, dmb]), e_elec, err_norm,
+            cocc_new = (mo_c[:, :na_c] * jnp.sqrt(occ[0][None, :na_c]),
+                        mo_c[:, :nb_c] * jnp.sqrt(occ[1][None, :nb_c]))
+            return (diis, jnp.stack([dma, dmb]), cocc_new, e_elec, err_norm,
                     jnp.stack([mo_e, mo_e]), jnp.stack([mo_c, mo_c]))
 
         return step

@@ -185,8 +185,8 @@ def PCM(mf, eps: float = 78.39, solvent: Optional[str] = None):
     def exp_energy(dm):
         return model.energy(mf.coords, dm, v_ints=v_ints)
 
-    def get_veff(dm):
-        veff, e2 = orig_get_veff(dm)
+    def get_veff(dm, cocc=None):
+        veff, e2 = orig_get_veff(dm, cocc=cocc)
         e_s = exp_energy(dm)
         v_s = jax.grad(exp_energy)(dm)
         v_s = 0.5 * (v_s + jnp.swapaxes(v_s, -1, -2))

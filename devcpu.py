@@ -11,6 +11,9 @@ jax.config.update("jax_enable_x64", True)
 # CPU-only compile cache: entries written via the axon remote-compile
 # helper carry target-feature flags this host lacks and SIGSEGV on load
 import os as _os
-_cpu_cache = _os.path.expanduser("~/.cache/cctpu_jax_cpu")
+from cctpu import _host_fingerprint  # noqa: E402
+
+_cpu_cache = _os.path.expanduser(
+    "~/.cache/cctpu_jax_cpu_" + _host_fingerprint())
 _os.makedirs(_cpu_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cpu_cache)

@@ -16,7 +16,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# CPU-only compile cache (axon-written AOT entries can SIGSEGV on load)
-_cpu_cache = os.path.expanduser("~/.cache/cctpu_jax_cpu")
+# CPU-only compile cache, keyed by host fingerprint (AOT entries written on
+# a different machine — axon remote or another host CPU — can SIGILL/SIGSEGV
+# on load)
+from cctpu import _host_fingerprint  # noqa: E402
+
+_cpu_cache = os.path.expanduser(
+    "~/.cache/cctpu_jax_cpu_" + _host_fingerprint())
 os.makedirs(_cpu_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cpu_cache)

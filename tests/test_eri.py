@@ -33,3 +33,17 @@ def test_eri_symmetry_with_p_shells():
     diag = np.einsum("ijij->ij", eri)
     bound = np.sqrt(np.abs(diag[:, :, None, None] * diag[None, None, :, :]))
     assert (np.abs(eri) <= bound + 1e-10).all()
+
+
+def test_cholesky_df_accuracy_contract():
+    """Pivoted-Cholesky JK reproduces in-core SCF to the 1e-8 contract
+    (BASELINE.json accuracy gate; basis-set DF floors at ~1e-6)."""
+    from cctpu.scf.hf import RHF
+
+    mol = Molecule.from_atoms(
+        "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
+        basis="6-31g*")
+    e_ref = RHF(mol).kernel()
+    mf = RHF(mol, density_fit="cd")
+    e_cd = mf.kernel()
+    assert abs(e_cd - e_ref) < 1e-8, abs(e_cd - e_ref)
