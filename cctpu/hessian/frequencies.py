@@ -139,3 +139,24 @@ def _is_linear(mol: Molecule, tol: float = 1e-6) -> bool:
     c = mol.coords - mol.coords.mean(0)
     _, s, _ = np.linalg.svd(c)
     return s[1] < tol
+
+
+def hessian_auto(mf, factory, mol, dm0=None, with_dipole: bool = True,
+                 log=None, step: float = 1e-3):
+    """Hessian ladder (reference opt-freq.py:390-417 GPU->CPU fallback
+    analog): analytic AD-CPHF for restricted references, FD-of-gradients
+    fallback otherwise. Returns (H [3N,3N], dmu_dR [3N,3] or None)."""
+    import numpy as _np
+    if _np.asarray(mf.mo_coeff).ndim == 2:
+        try:
+            from cctpu.hessian.cphf import analytic_hessian
+            if log:
+                log("  Hessian: analytic (AD-native CPHF)")
+            if with_dipole:
+                return analytic_hessian(mf, with_dipole=True)
+            return analytic_hessian(mf), None
+        except Exception as exc:
+            if log:
+                log(f"  analytic Hessian unavailable ({exc}); using FD")
+    return hessian_fd(factory, mol, dm0=dm0, step=step,
+                      with_dipole=with_dipole)

@@ -33,7 +33,12 @@ def _active_integrals(h_ao, eri_ao, C, ncore, ncas):
     veff_core = J - 0.5 * K
     e_core = jnp.einsum("pq,pq->", dm_core, h_ao + 0.5 * veff_core)
     h_eff = Ca.T @ (h_ao + veff_core) @ Ca
-    eri_act = jnp.einsum("pi,qj,rk,sl,pqrs->ijkl", Ca, Ca, Ca, Ca, eri_ao)
+    # sequential quarter transforms: O(nao^4 ncas) with nao^3-sized
+    # intermediates instead of the one-shot 5-tensor einsum
+    t = jnp.einsum("pqrs,sl->pqrl", eri_ao, Ca)
+    t = jnp.einsum("pqrl,rk->pqkl", t, Ca)
+    t = jnp.einsum("pqkl,qj->pjkl", t, Ca)
+    eri_act = jnp.einsum("pjkl,pi->ijkl", t, Ca)
     return e_core, h_eff, eri_act
 
 
@@ -58,6 +63,9 @@ class CASCI:
         self.converged = False
 
     def _ao_ints(self):
+        cached = getattr(self, "_ao_ints_cache", None)
+        if cached is not None:
+            return cached
         mf = self.mf
         ints = build_int1e(self.mol.basis_set, mf.coords,
                            jnp.asarray(self.mol.charges))
@@ -67,7 +75,8 @@ class CASCI:
             from cctpu.ints.two_electron import build_eri_incore
             eri_ao = jnp.asarray(build_eri_incore(self.mol.basis_set,
                                                   mf.coords))
-        return h_ao, eri_ao
+        self._ao_ints_cache = (h_ao, eri_ao)
+        return self._ao_ints_cache
 
     def kernel(self, mo_coeff=None):
         if mo_coeff is not None:

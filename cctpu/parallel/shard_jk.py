@@ -1,0 +1,72 @@
+"""Single-molecule scale-out: shard the DF tensor and XC grid over the
+device mesh (SURVEY.md §2.4 "TP analog" — the reference has no multi-device
+path at all; its largest-molecule strategy is a cheaper tier).
+
+Two axes of intra-molecule parallelism:
+
+ - ``shard_jk_over_aux(jk, mesh)``: place B [naux, nao, nao] with a
+   NamedSharding over the 'aux' mesh axis. The J/K einsums then compile to
+   per-device partial contractions + an XLA all-reduce over ICI (GSPMD
+   inserts the psum) — the DF Fock build for ONE big molecule spreads over
+   the chips with no change to any call site.
+ - ``exc_sharded(...)``: shard_map the Becke-grid quadrature over grid
+   blocks; each device integrates its shard of points and the scalar is
+   psum'd.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_jk_over_aux(jk, mesh: Mesh, axis: str = "task"):
+    """Reshard a DFJK/CholeskyJK builder's B tensor over the mesh axis
+    (padding naux to divisibility). Subsequent __call__/_k_of contractions
+    run as sharded matmuls with XLA-inserted all-reduces."""
+    ndev = mesh.shape[axis]
+    B = np.asarray(jk.B)
+    naux = B.shape[0]
+    npad = (-naux) % ndev
+    if npad:
+        B = np.concatenate([B, np.zeros((npad,) + B.shape[1:])], axis=0)
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    jk.B = jax.device_put(jnp.asarray(B), sharding)
+    if hasattr(jk, "_B_cast"):
+        del jk._B_cast
+    jk._aux_mesh = mesh
+    return jk
+
+
+def exc_sharded(exc_chunk_fn, pts_chunks, w_chunks, mesh: Mesh,
+                axis: str = "task"):
+    """Integrate sum_chunks exc_chunk_fn(pts, w) with the chunk axis
+    sharded over the mesh: each device scans its local chunks, partial
+    sums are psum'd over the axis."""
+    from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.shape[axis]
+    nchunk = pts_chunks.shape[0]
+    npad = (-nchunk) % ndev
+    if npad:
+        pts_chunks = jnp.concatenate(
+            [pts_chunks, jnp.full((npad,) + pts_chunks.shape[1:], 1e6)], 0)
+        w_chunks = jnp.concatenate(
+            [w_chunks, jnp.zeros((npad,) + w_chunks.shape[1:])], 0)
+
+    def local(pts_l, w_l):
+        def body(acc, chunk):
+            p, w = chunk
+            return acc + exc_chunk_fn(p, w), None
+        total, _ = jax.lax.scan(body, 0.0, (pts_l, w_l))
+        return jax.lax.psum(total, axis)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis, None, None), P(axis, None)),
+                   out_specs=P())
+    return fn(pts_chunks, w_chunks)

@@ -41,7 +41,9 @@ class TDDFT:
     def _setup(self):
         mf = self.mf
         C = np.array(mf.mo_coeff)
-        assert C.ndim == 2, "TDDFT currently supports closed-shell references"
+        if C.ndim == 3:
+            return self._setup_unrestricted()
+        self.unrestricted = False
         nocc = mf.mol.nelectron // 2
         self.Co = jnp.asarray(C[:, :nocc])
         self.Cv = jnp.asarray(C[:, nocc:])
@@ -107,7 +109,97 @@ class TDDFT:
         self._apb_mv = make_mv("apb")
         self._amb_mv = make_mv("amb")
 
+    def _setup_unrestricted(self):
+        """Spin-resolved excitation space (ia)_alpha + (ia)_beta — the UKS
+        TDDFT the reference UV workflow inherits from pyscf.tdscf for
+        radicals (templates/calculate_uv_spectrum.py:97)."""
+        mf = self.mf
+        self.unrestricted = True
+        C = np.array(mf.mo_coeff)
+        na, nb = mf.mol.nalpha, mf.mol.nbeta
+        nmo = C.shape[-1]
+        self.nocc_s = (na, nb)
+        self.nvir_s = (nmo - na, nmo - nb)
+        self.Co_s = (jnp.asarray(C[0][:, :na]), jnp.asarray(C[1][:, :nb]))
+        self.Cv_s = (jnp.asarray(C[0][:, na:]), jnp.asarray(C[1][:, nb:]))
+        e = np.array(mf.mo_energy)
+        ed_a = (e[0][na:][None, :] - e[0][:na][:, None]).ravel()
+        ed_b = (e[1][nb:][None, :] - e[1][:nb][:, None]).ravel()
+        self.ediff = np.concatenate([ed_a, ed_b])
+        self._sizes = (na * (nmo - na), nb * (nmo - nb))
+
+        func = getattr(mf, "func", None)
+        self.ax = 1.0 if func is None else func.hyb
+        self.rsh = None if func is None else func.rsh
+        self.has_xc = func is not None and func.exc is not None
+        self.dm0 = mf.dm
+        jk = mf._jk
+        if self.rsh is not None:
+            jk.prepare_lr(self.rsh[0])
+        exc_total = mf._exc_total if self.has_xc else None
+        Co, Cv = self.Co_s, self.Cv_s
+        ax = self.ax
+        ediag = (jnp.asarray(ed_a).reshape(na, nmo - na),
+                 jnp.asarray(ed_b).reshape(nb, nmo - nb))
+
+        def contract(Pa, Pb, mode):
+            if mode == "apb":
+                Pa, Pb = Pa + Pa.T, Pb + Pb.T
+            elif mode == "amb":
+                Pa, Pb = Pa - Pa.T, Pb - Pb.T
+            P = jnp.stack([Pa, Pb])
+            out = [0.0, 0.0]
+            if mode != "amb":
+                Jtot = jk(Pa + Pb, with_k=False)[0]
+                if Jtot.ndim == 3:      # builder returned per-spin J
+                    Jtot = Jtot[0] + Jtot[1]
+                out = [Jtot, Jtot]
+            if ax:
+                K = jk(P, with_k=True)[1]
+                out = [out[0] - ax * K[0], out[1] - ax * K[1]]
+            if self.rsh is not None:
+                omega, _, beta = self.rsh
+                Klr = jk.k_lr(P, omega)
+                out = [out[0] - beta * Klr[0], out[1] - beta * Klr[1]]
+            if self.has_xc and mode != "amb":
+                _, fxcP = jax.jvp(lambda d: jax.grad(exc_total)(d),
+                                  (self.dm0,), (P,))
+                out = [out[0] + 0.5 * (fxcP[0] + fxcP[0].T),
+                       out[1] + 0.5 * (fxcP[1] + fxcP[1].T)]
+            return (Co[0].T @ out[0] @ Cv[0] if not isinstance(out[0], float)
+                    else jnp.zeros((na, nmo - na)),
+                    Co[1].T @ out[1] @ Cv[1] if not isinstance(out[1], float)
+                    else jnp.zeros((nb, nmo - nb)))
+
+        sa, sb = self._sizes
+
+        def make_mv(mode):
+            @jax.jit
+            def mv(Vb):                      # [nvec, sa+sb]
+                def one(v):
+                    Xa = v[:sa].reshape(na, nmo - na)
+                    Xb = v[sa:].reshape(nb, nmo - nb)
+                    Pa = Co[0] @ Xa @ Cv[0].T
+                    Pb = Co[1] @ Xb @ Cv[1].T
+                    Va, Vb_ = contract(Pa, Pb, mode)
+                    ra = Xa * ediag[0] + Va
+                    rb = Xb * ediag[1] + Vb_
+                    return jnp.concatenate([ra.ravel(), rb.ravel()])
+                return jax.vmap(one)(Vb)
+            return mv
+
+        self._a_mv = make_mv("tda")
+        self._apb_mv = make_mv("apb")
+        self._amb_mv = make_mv("amb")
+        self.nocc = None
+        self.nvir = None
+
     def _mv_flat(self, mv):
+        if getattr(self, "unrestricted", False):
+            def f(V):
+                out = mv(jnp.asarray(V.T))
+                return np.asarray(out).T
+            return f
         no, nv = self.nocc, self.nvir
 
         def f(V):
@@ -116,18 +208,39 @@ class TDDFT:
             return np.asarray(out.reshape(-1, no * nv)).T
         return f
 
+    def _split(self, v):
+        """Flat unrestricted vector -> (Xa [na,nva], Xb [nb,nvb])."""
+        sa, _ = self._sizes
+        na, nb = self.nocc_s
+        nva, nvb = self.nvir_s
+        return v[:sa].reshape(na, nva), v[sa:].reshape(nb, nvb)
+
+    def _shape_x(self, v):
+        """Flat amplitude vector -> per-spin tuple (unrestricted) or
+        [no, nv] matrix (restricted)."""
+        if getattr(self, "unrestricted", False):
+            return self._split(v)
+        return v.reshape(self.nocc, self.nvir)
+
+    def _zeros_x(self):
+        if getattr(self, "unrestricted", False):
+            return self._split(np.zeros(sum(self._sizes)))
+        return np.zeros((self.nocc, self.nvir))
+
     # -- main ----------------------------------------------------------------
     def kernel(self):
         self._setup()
-        no, nv = self.nocc, self.nvir
-        nov = no * nv
+        if getattr(self, "unrestricted", False):
+            nov = sum(self._sizes)
+        else:
+            nov = self.nocc * self.nvir
         nst = min(self.nstates, nov)
 
         if self.tda:
             w, Y, conv = davidson(self._mv_flat(self._a_mv), self.ediff,
                                   nst, tol=1e-6)
             self.e = w
-            self.xy = [(Y[:, k].reshape(no, nv), np.zeros((no, nv)))
+            self.xy = [(self._shape_x(Y[:, k]), self._zeros_x())
                        for k in range(nst)]
             self.converged = conv
             return self.e
@@ -141,47 +254,37 @@ class TDDFT:
             w, xpy, xmy, conv = rpa_davidson(apb, amb, self.ediff, nst,
                                              tol=1e-6)
             self.e = w
-            self.xy = [(0.5 * (xpy[:, k] + xmy[:, k]).reshape(no, nv),
-                        0.5 * (xpy[:, k] - xmy[:, k]).reshape(no, nv))
+            self.xy = [(self._shape_x(0.5 * (xpy[:, k] + xmy[:, k])),
+                        self._shape_x(0.5 * (xpy[:, k] - xmy[:, k])))
                        for k in range(nst)]
             self.converged = conv
             return self.e
-        if nov <= 1500:
-            I = np.eye(nov)
-            APB = apb(I)
-            AMB = amb(I)
-            w2, sq = np.linalg.eigh(0.5 * (AMB + AMB.T))
-            w2 = np.maximum(w2, 1e-12)
-            S12 = (sq * np.sqrt(w2)[None, :]) @ sq.T
-            M = S12 @ (0.5 * (APB + APB.T)) @ S12
-            ww, Z = np.linalg.eigh(0.5 * (M + M.T))
-            idx = np.argsort(ww)[:nst]
-            self.e = np.sqrt(np.maximum(ww[idx], 0.0))
-            self.xy = []
-            Sm12 = (sq / np.sqrt(w2)[None, :]) @ sq.T
-            for k, i in enumerate(idx):
-                w = self.e[k]
-                z = Z[:, i]
-                # |X+Y> = (A-B)^{1/2} Z / sqrt(w);  |X-Y> = w^{-1}(A+B)|X+Y>
-                xpy = S12 @ z / np.sqrt(max(w, 1e-12))
-                xmy = Sm12 @ z * np.sqrt(max(w, 1e-12))
-                X = 0.5 * (xpy + xmy)
-                Yv = 0.5 * (xpy - xmy)
-                # normalize <X|X> - <Y|Y> = 1
-                nrm = X @ X - Yv @ Yv
-                s = 1.0 / np.sqrt(abs(nrm)) if abs(nrm) > 1e-12 else 1.0
-                self.xy.append((X.reshape(no, nv) * s,
-                                Yv.reshape(no, nv) * s))
-            self.converged = True
-        else:
-            # Davidson on the product operator using an inner dense (A-B)
-            # is impractical; fall back to TDA for very large systems.
-            w, Y, conv = davidson(self._mv_flat(self._a_mv), self.ediff,
-                                  nst, tol=1e-6)
-            self.e = w
-            self.xy = [(Y[:, k].reshape(no, nv), np.zeros((no, nv)))
-                       for k in range(nst)]
-            self.converged = conv
+        # nov <= 600 from here on: dense Casida always fits
+        I = np.eye(nov)
+        APB = apb(I)
+        AMB = amb(I)
+        w2, sq = np.linalg.eigh(0.5 * (AMB + AMB.T))
+        w2 = np.maximum(w2, 1e-12)
+        S12 = (sq * np.sqrt(w2)[None, :]) @ sq.T
+        M = S12 @ (0.5 * (APB + APB.T)) @ S12
+        ww, Z = np.linalg.eigh(0.5 * (M + M.T))
+        idx = np.argsort(ww)[:nst]
+        self.e = np.sqrt(np.maximum(ww[idx], 0.0))
+        self.xy = []
+        Sm12 = (sq / np.sqrt(w2)[None, :]) @ sq.T
+        for k, i in enumerate(idx):
+            w = self.e[k]
+            z = Z[:, i]
+            # |X+Y> = (A-B)^{1/2} Z / sqrt(w);  |X-Y> = w^{-1}(A+B)|X+Y>
+            xpy = S12 @ z / np.sqrt(max(w, 1e-12))
+            xmy = Sm12 @ z * np.sqrt(max(w, 1e-12))
+            X = 0.5 * (xpy + xmy)
+            Yv = 0.5 * (xpy - xmy)
+            # normalize <X|X> - <Y|Y> = 1
+            nrm = X @ X - Yv @ Yv
+            s = 1.0 / np.sqrt(abs(nrm)) if abs(nrm) > 1e-12 else 1.0
+            self.xy.append((self._shape_x(X * s), self._shape_x(Yv * s)))
+        self.converged = True
         return self.e
 
     # -- properties ----------------------------------------------------------
@@ -190,6 +293,17 @@ class TDDFT:
         ints = build_int1e(mf.mol.basis_set, mf.coords,
                            jnp.asarray(mf.mol.charges), with_dipole=True)
         r_ao = np.array(ints["dipole"])          # [3, nao, nao]
+        if getattr(self, "unrestricted", False):
+            r_ov = [np.einsum("pi,dpq,qa->dia", np.array(self.Co_s[s]),
+                              r_ao, np.array(self.Cv_s[s]))
+                    for s in range(2)]
+            out = []
+            for (X, Y) in self.xy:
+                t = sum(np.einsum("dia,ia->d", r_ov[s],
+                                  np.asarray(X[s]) + np.asarray(Y[s]))
+                        for s in range(2))
+                out.append(t)
+            return np.array(out)
         Co = np.array(self.Co)
         Cv = np.array(self.Cv)
         r_ov = np.einsum("pi,dpq,qa->dia", Co, r_ao, Cv)
@@ -205,14 +319,22 @@ class TDDFT:
 
     def analyze(self, threshold: float = 0.1, log=print):
         osc = self.oscillator_strength()
+        unres = getattr(self, "unrestricted", False)
         for n, (e, f) in enumerate(zip(self.e, osc)):
             ev = e * HARTREE2EV
             nm = 1239.841984 / ev if ev > 0 else float("inf")
             log(f"Excited state {n + 1}: {ev:.4f} eV  {nm:.1f} nm  "
                 f"f = {f:.4f}")
             X = self.xy[n][0]
-            for (i, a) in zip(*np.where(np.abs(X) > threshold)):
-                log(f"    {i} -> {self.nocc + a}   amp {X[i, a]:+.3f}")
+            if unres:
+                for s, tag in ((0, "a"), (1, "b")):
+                    Xs = np.asarray(X[s])
+                    for (i, a) in zip(*np.where(np.abs(Xs) > threshold)):
+                        log(f"    {i}{tag} -> {self.nocc_s[s] + a}{tag}"
+                            f"   amp {Xs[i, a]:+.3f}")
+            else:
+                for (i, a) in zip(*np.where(np.abs(X) > threshold)):
+                    log(f"    {i} -> {self.nocc + a}   amp {X[i, a]:+.3f}")
         return osc
 
 

@@ -61,3 +61,42 @@ def test_water_tddft_b3lyp_ordering():
     assert (np.diff(w_tda) >= -1e-10).all()
     assert (w_rpa <= w_tda + 1e-8).all()   # RPA below TDA
     assert (w_rpa > 0.1).all()             # water: no low-lying states
+
+
+def test_unrestricted_tda_contains_restricted_singlets():
+    """UKS-based TDA on a closed-shell molecule spans singlets AND
+    triplets; the restricted singlet TDA energies must appear in the
+    unrestricted spectrum (spin adaptation check)."""
+    from cctpu.scf.hf import UHF, RHF
+
+    mol = Molecule.from_atoms("He 0 0 0; He 0 0 1.6", basis="6-31g")
+    mf_r = RHF(mol)
+    mf_r.kernel()
+    w_singlet = TDA(mf_r, nstates=2).kernel()
+
+    mf_u = UHF(mol)
+    mf_u.kernel()
+    td_u = TDA(mf_u, nstates=4)
+    w_u = td_u.kernel()
+    assert td_u.unrestricted
+    for w in w_singlet:
+        assert np.min(np.abs(np.asarray(w_u) - w)) < 1e-4, (w, w_u)
+
+
+def test_radical_uks_tda_runs():
+    """Open-shell UV path (reference inherits UKS TDDFT from pyscf,
+    calculate_uv_spectrum.py:97): OH radical TDA gives positive finite
+    excitations and oscillator strengths."""
+    from cctpu.scf.hf import UHF
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", spin=1, basis="sto-3g")
+    mf = UHF(mol)
+    mf.kernel()
+    assert mf.converged
+    td = TDA(mf, nstates=3)
+    w = td.kernel()
+    # OH is a 2-Pi ground state: the SOMO <-> degenerate-partner rotation
+    # is a physical zero-energy TDA root; all roots must be >= 0
+    assert np.all(np.asarray(w) > -1e-8)
+    osc = td.oscillator_strength()
+    assert np.all(np.isfinite(osc))
