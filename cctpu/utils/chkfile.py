@@ -34,18 +34,30 @@ def save_scf(path: str, mf, method: str = ""):
         converged=mf.converged,
         coords=np.asarray(mf.mol.coords),
         key=geometry_key(mf.mol, method),
+        basis=str(mf.mol.basis),
+        nao=int(mf.mol.nao),
     )
 
 
 def load_dm0(path: str, mol, method: str = "") -> Optional[np.ndarray]:
-    """Return the stored density if it matches (geometry, method, basis)."""
+    """Return the stored density if it is usable as a warm start.
+
+    Exact (geometry, method, basis) match returns the converged dm;
+    same basis at a *different* geometry is still a good warm start and is
+    returned too; a basis/nao mismatch returns None (the dm would be
+    wrong-shaped or wrong-spanned)."""
     if not os.path.exists(path):
         return None
     try:
         z = np.load(path, allow_pickle=False)
-        if str(z["key"]) == geometry_key(mol, method):
-            return z["dm"]
-        return z["dm"]       # different geometry: still a good warm start
+        if "nao" in z and int(z["nao"]) != int(mol.nao):
+            return None
+        if "basis" in z and str(z["basis"]) != str(mol.basis):
+            return None
+        dm = z["dm"]
+        if dm.shape[-1] != int(mol.nao):
+            return None
+        return dm
     except Exception:
         return None
 

@@ -58,7 +58,13 @@ def ghosted(dimer: Molecule, real: str) -> Molecule:
 
 def interaction_energy(smiles_a, smiles_b, distance, basis, method,
                        orientation="aligned", bsse=True, density_fit=None,
-                       log=print):
+                       log=print, warm=None):
+    """One counterpoise-corrected point. ``warm`` (a dict) carries
+    monomer energies (distance-independent — computed once per scan) and
+    dm warm starts between neighbouring scan distances, turning the
+    reference's fully-serial scan (calculate_interaction.py:229-252) into
+    incremental re-solves."""
+    warm = warm if warm is not None else {}
     mol_a = smiles_to_molecule(smiles_a, basis=basis)
     mol_b = smiles_to_molecule(smiles_b, basis=basis)
     dimer = make_dimer(mol_a, mol_b, distance, orientation)
@@ -66,16 +72,22 @@ def interaction_energy(smiles_a, smiles_b, distance, basis, method,
     dimer._charges_ab = (mol_a.charge, mol_b.charge)
     dimer._spins_ab = (mol_a.spin, mol_b.spin)
 
-    _, e_ab = run_scf(dimer, method, density_fit, log=log)
-    _, e_a = run_scf(mol_a, method, density_fit, log=log)
-    _, e_b = run_scf(mol_b, method, density_fit, log=log)
+    mf_ab, e_ab = run_scf(dimer, method, density_fit, log=log,
+                          dm0=warm.get("ab"))
+    warm["ab"] = mf_ab.make_rdm1()
+    if "e_a" not in warm:
+        _, warm["e_a"] = run_scf(mol_a, method, density_fit, log=log)
+        _, warm["e_b"] = run_scf(mol_b, method, density_fit, log=log)
+    e_a, e_b = warm["e_a"], warm["e_b"]
     e_int = e_ab - e_a - e_b
     bsse_corr = 0.0
     if bsse:
-        _, e_a_db = run_scf(ghosted(dimer, "A"), method, density_fit,
-                            log=log)
-        _, e_b_db = run_scf(ghosted(dimer, "B"), method, density_fit,
-                            log=log)
+        mf_adb, e_a_db = run_scf(ghosted(dimer, "A"), method, density_fit,
+                                 log=log, dm0=warm.get("adb"))
+        mf_bdb, e_b_db = run_scf(ghosted(dimer, "B"), method, density_fit,
+                                 log=log, dm0=warm.get("bdb"))
+        warm["adb"] = mf_adb.make_rdm1()
+        warm["bdb"] = mf_bdb.make_rdm1()
         bsse_corr = (e_a - e_a_db) + (e_b - e_b_db)
     return e_int + bsse_corr, e_int, bsse_corr
 
@@ -135,11 +147,13 @@ def main(argv=None):
                        args.scan_step)
         out.print(f"\n{'R (A)':>7} {'E_int CP (kcal/mol)':>20}")
         es = []
+        warm = {}
         for r in rs:
             e_i, _, _ = interaction_energy(
                 args.smiles, args.smiles2, float(r), basis, args.method,
                 args.orientation, bsse=not args.no_bsse,
-                density_fit=args.density_fit, log=lambda *a: None)
+                density_fit=args.density_fit, log=lambda *a: None,
+                warm=warm)
             es.append(e_i * HARTREE2KCAL)
             out.print(f"{r:7.2f} {es[-1]:20.3f}")
         try:

@@ -14,7 +14,8 @@ import os
 import numpy as np
 
 from cctpu.geomopt.optimizer import optimize
-from cctpu.hessian.frequencies import harmonic_analysis, hessian_fd
+from cctpu.hessian.frequencies import (harmonic_analysis, hessian_auto,
+                                        hessian_fd)
 from cctpu.hessian.thermo import thermo
 from cctpu.workflows.common import (Timer, add_common_args, build_molecule,
                                     make_scf, open_reports)
@@ -82,7 +83,7 @@ def main(argv=None):
 
     res = optimize(factory, mol, maxsteps=args.maxsteps, verbose=1)
     out.print(f"optimized E = {res.e_tot:.10f} Ha")
-    H, dmu = hessian_fd(factory, res.mol, dm0=res.mf.dm)
+    H, dmu = hessian_auto(res.mf, factory, res.mol, dm0=res.mf.dm)
     ha = harmonic_analysis(res.mol, H, dmu)
 
     out.print(f"\n{'freq (cm-1)':>12} {'IR (km/mol)':>12}  assignment")

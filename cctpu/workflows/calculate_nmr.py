@@ -2,10 +2,11 @@
 
 Reference: templates/calculate_nmr.py: shielding tensors -> shifts
 delta = sigma_ref - sigma_calc vs a TMS reference computed at the same
-level, with the reference's empirical fallback constants (H 31.0 ppm,
-C 186.0 ppm — calculate_nmr.py:166-169) when a computed TMS is unavailable
-(here: Si basis data not yet embedded); anisotropy; environment-based
-assignment; Lorentzian-broadened stick spectra.
+level (Si basis embedded since round 2; per-element 6-31G** fallback inside
+6-311G**), falling back to the reference's empirical constants
+(H 31.0 / C 186.0 ppm, calculate_nmr.py:166-169) if the TMS solve fails;
+anisotropy; environment-based assignment; Lorentzian-broadened stick
+spectra.
 """
 
 from __future__ import annotations
@@ -21,6 +22,71 @@ from cctpu.workflows.common import (Timer, add_common_args, build_molecule,
                                     make_scf, open_reports)
 
 EMPIRICAL_REF = {"H": 31.0, "C": 186.0}      # reference fallback constants
+
+
+def _tms_molecule(basis: str):
+    """Si(CH3)4 at the standard tetrahedral geometry (r_SiC 1.875 A,
+    r_CH 1.09 A), built explicitly — deterministic, no embedding step."""
+    from cctpu.core.constants import ANG2BOHR
+    from cctpu.core.molecule import Molecule
+
+    dirs = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1],
+                     [-1, -1, 1]]) / np.sqrt(3.0)
+    syms = ["Si"]
+    coords = [np.zeros(3)]
+    c_si, c_h = 1.875, 1.09
+    for u in dirs:
+        c_pos = u * c_si
+        syms.append("C")
+        coords.append(c_pos)
+        # orthonormal frame around u
+        v = np.cross(u, [0.0, 0.0, 1.0])
+        if np.linalg.norm(v) < 1e-6:
+            v = np.cross(u, [0.0, 1.0, 0.0])
+        v /= np.linalg.norm(v)
+        w = np.cross(u, v)
+        for theta in (0.0, 2 * np.pi / 3, 4 * np.pi / 3):
+            h_dir = (u / 3.0 + np.sqrt(8.0) / 3.0
+                     * (np.cos(theta) * v + np.sin(theta) * w))
+            syms.append("H")
+            coords.append(c_pos + c_h * h_dir)
+    return Molecule(symbols=syms, coords=np.array(coords) * ANG2BOHR,
+                    charge=0, spin=0, basis=basis)
+
+
+_TMS_CACHE = {}
+
+
+def tms_reference(method, basis, grid_level=2, density_fit=None, log=None):
+    """Computed TMS shieldings at the requested level (reference
+    calculate_nmr.py:138-164); {'H': sigma, 'C': sigma} or None on
+    failure (callers then use EMPIRICAL_REF)."""
+    key = (method.lower(), basis.lower())
+    if key in _TMS_CACHE:
+        return _TMS_CACHE[key]
+    try:
+        mol = _tms_molecule(basis)
+        mf, _ = make_scf(mol, method, density_fit, grid_level=grid_level)
+        mf.kernel()
+        if not mf.converged:
+            raise RuntimeError("TMS SCF not converged")
+        nmr = NMR(mf)
+        nmr.kernel()
+        iso = nmr.isotropic()
+        ref = {"H": float(np.mean([iso[i] for i, s in
+                                   enumerate(mol.element_symbols)
+                                   if s == "H"])),
+               "C": float(np.mean([iso[i] for i, s in
+                                   enumerate(mol.element_symbols)
+                                   if s == "C"]))}
+        _TMS_CACHE[key] = ref
+        return ref
+    except Exception as exc:
+        if log:
+            log(f"computed TMS reference failed ({exc}); using empirical "
+                f"constants")
+        _TMS_CACHE[key] = None
+        return None
 
 
 def assign_env(symbol, shift):
@@ -72,6 +138,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="NMR chemical shifts")
     add_common_args(p, default_method="b3lyp", default_basis="6-311g**")
     p.add_argument("--skip-opt", action="store_true")
+    p.add_argument("--empirical-ref", action="store_true",
+                   help="skip the computed TMS reference (use the "
+                        "reference's empirical constants)")
     args = p.parse_args(argv)
     out, short, log, tag = open_reports(args, "nmr")
     t = Timer()
@@ -98,16 +167,24 @@ def main(argv=None):
     iso = nmr.isotropic()
     aniso = nmr.anisotropy()
 
-    out.print("\nNOTE: common-gauge-origin shielding (per-nucleus origin); "
-              "shifts use the reference empirical standards "
-              f"{EMPIRICAL_REF} (computed-TMS path activates once Si basis "
-              "data is embedded)")
+    p_skip_tms = getattr(args, "empirical_ref", False)
+    ref = None if p_skip_tms else tms_reference(
+        args.method, args.basis, grid_level=args.grid_level,
+        density_fit=args.density_fit, log=out.print)
+    if ref is not None:
+        out.print(f"\nTMS reference computed at {args.method}/{args.basis}: "
+                  f"sigma(H) = {ref['H']:.2f}, sigma(C) = {ref['C']:.2f} ppm"
+                  " (common-gauge-origin, per-nucleus origins)")
+    else:
+        ref = EMPIRICAL_REF
+        out.print("\nNOTE: shifts use the reference empirical standards "
+                  f"{EMPIRICAL_REF} (calculate_nmr.py:166-169 fallback)")
     out.print(f"\n{'atom':>6} {'sigma_iso':>10} {'delta':>8} "
               f"{'anisotropy':>11}  environment")
     shifts = []
     for i, sym in enumerate(mol.element_symbols):
-        if sym in EMPIRICAL_REF:
-            d = EMPIRICAL_REF[sym] - iso[i]
+        if sym in ref:
+            d = ref[sym] - iso[i]
             shifts.append(d)
             out.print(f"{sym}{i:<5d} {iso[i]:10.2f} {d:8.2f} "
                       f"{aniso[i]:11.2f}  {assign_env(sym, d)}")

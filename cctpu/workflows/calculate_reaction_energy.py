@@ -16,7 +16,8 @@ import numpy as np
 
 from cctpu.core import constants as const
 from cctpu.geomopt.optimizer import optimize
-from cctpu.hessian.frequencies import harmonic_analysis, hessian_fd
+from cctpu.hessian.frequencies import (harmonic_analysis, hessian_auto,
+                                        hessian_fd)
 from cctpu.hessian.thermo import thermo
 from cctpu.io.embed3d import smiles_to_molecule
 from cctpu.workflows.common import (Timer, make_scf, open_reports,
@@ -62,7 +63,8 @@ def species_thermo(smiles: str, method: str, basis: str, density_fit,
     e = res.e_tot
     if skip_freq:
         return {"E": e, "E0": e, "H": e, "G": e}
-    H, _ = hessian_fd(factory, res.mol, dm0=res.mf.dm, with_dipole=False)
+    H, _ = hessian_auto(res.mf, factory, res.mol, dm0=res.mf.dm,
+                        with_dipole=False)
     ha = harmonic_analysis(res.mol, H)
     th = thermo(res.mol, ha.freq_au, e)
     return {"E": e, "E0": th["E_0K"][0], "H": th["H_tot"][0],

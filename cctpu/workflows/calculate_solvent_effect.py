@@ -40,11 +40,16 @@ def main(argv=None):
     out.print(f"gas phase:  E = {e_gas:.8f} Ha   mu = {mu_gas:.3f} D   "
               f"gap = {(l_g - h_g) * HARTREE2EV:.3f} eV")
 
+    _last_dm = [mf_gas.make_rdm1()]
+
     def pcm_run(solvent):
         mf, _ = make_scf(mol, args.method, args.density_fit,
                          grid_level=args.grid_level)
         mf = PCM(mf, solvent=solvent)
-        e = mf.kernel(dm0=mf_gas.make_rdm1())
+        # warm start from the previous solvent's density (the solvated
+        # densities are much closer to each other than to gas phase)
+        e = mf.kernel(dm0=_last_dm[0])
+        _last_dm[0] = mf.make_rdm1()
         return mf, e
 
     mf_sol, e_sol = pcm_run(args.solvent)

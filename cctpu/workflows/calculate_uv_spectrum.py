@@ -82,9 +82,17 @@ def main(argv=None):
         if f > f_max:
             f_max, lam_max = f, nm
         X = td.xy[n][0]
-        for (i, a) in zip(*np.where(np.abs(X) > 0.1)):
-            out.print(f"        MO {i + 1} -> MO {td.nocc + a + 1}  "
-                      f"amp {X[i, a]:+.3f}")
+        if getattr(td, "unrestricted", False):
+            for s, tag_s in ((0, "a"), (1, "b")):
+                Xs = np.asarray(X[s])
+                for (i, a) in zip(*np.where(np.abs(Xs) > 0.1)):
+                    out.print(f"        MO {i + 1}{tag_s} -> "
+                              f"MO {td.nocc_s[s] + a + 1}{tag_s}  "
+                              f"amp {Xs[i, a]:+.3f}")
+        else:
+            for (i, a) in zip(*np.where(np.abs(X) > 0.1)):
+                out.print(f"        MO {i + 1} -> MO {td.nocc + a + 1}  "
+                          f"amp {X[i, a]:+.3f}")
     if lam_max:
         out.print(f"\nstrongest absorption: {lam_max:.0f} nm  "
                   f"-> {assign_color(lam_max)}")

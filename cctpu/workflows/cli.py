@@ -36,7 +36,10 @@ def main(argv=None):
         return 1
     import importlib
     mod = importlib.import_module(_WORKFLOWS[name][0])
-    return mod.main(argv[1:])
+    rc = mod.main(argv[1:])
+    from cctpu.workflows.common import report_phases
+    report_phases()
+    return rc
 
 
 if __name__ == "__main__":

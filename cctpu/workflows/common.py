@@ -63,10 +63,15 @@ def add_common_args(p: argparse.ArgumentParser, default_method="b3lyp",
                    help="force density fitting (default: auto by size)")
     p.add_argument("--output-dir", default=".")
     p.add_argument("--grid-level", type=int, default=3)
+    p.add_argument("--scf-cache", default=None, metavar="DIR",
+                   help="directory for SCF checkpoint/warm-start files "
+                        "(restartable sweeps; SURVEY §5 checkpoint/resume)")
     return p
 
 
 def open_reports(args, script: str):
+    configure_run(args)
+    os.makedirs(args.output_dir, exist_ok=True)
     tag = f"{sanitize(args.smiles)}_{script}_{args.method}_" \
           f"{args.basis.replace('*', 's').replace('+', 'p')}"
     short = open(os.path.join(args.output_dir, f"{tag}_short_report.txt"),
@@ -95,16 +100,10 @@ _HYBRID_XC = {"b3lyp", "b3lyp5", "pbe0", "m06", "m06-2x", "wb97x-d",
 
 
 def resolve_basis(name: str, log=None) -> str:
-    """def2-TZVP isn't embedded yet -> documented 6-311G** fallback."""
-    from cctpu.core.basis_data import get_basis_text
-    try:
-        get_basis_text(name)
-        return name
-    except NotImplementedError:
-        if log:
-            log(f"NOTE: basis {name} not embedded yet; falling back to "
-                f"6-311G** (see cctpu/core/basis_data/def2.py)")
-        return "6-311g**"
+    """All reference-default bases are embedded (def2-TZVP included since
+    round 2); unknown names raise at Mole build. Per-ELEMENT gaps inside a
+    set fall back down the chain in core/basis.py with a logged warning."""
+    return name
 
 
 def make_scf(mol: Molecule, method: str, density_fit: Optional[bool] = None,
@@ -129,20 +128,62 @@ def make_scf(mol: Molecule, method: str, density_fit: Optional[bool] = None,
     return mf, is_mp2
 
 
+# Global run context set once per workflow invocation (open_reports):
+# phase timings for the short report + optional SCF checkpoint cache.
+PHASES = None      # utils.profiling.PhaseTimer | None
+_SCF_CACHE = None  # utils.chkfile.SCFCache | None
+
+
+def configure_run(args):
+    """Install the phase timer and (optionally) the SCF cache from CLI
+    flags (SURVEY §5: tracing/profiling + checkpoint/resume wiring)."""
+    global PHASES, _SCF_CACHE
+    from cctpu.utils.profiling import PhaseTimer
+    PHASES = PhaseTimer()
+    cache_dir = getattr(args, "scf_cache", None)
+    if cache_dir:
+        from cctpu.utils.chkfile import SCFCache
+        _SCF_CACHE = SCFCache(cache_dir)
+    else:
+        _SCF_CACHE = None
+    return PHASES
+
+
+def report_phases(log=print):
+    if PHASES is not None and PHASES.phases:
+        log("\nPhase timings:")
+        PHASES.report(log)
+
+
 def run_scf(mol, method, density_fit=None, dm0=None, log=None, **opts):
     """SCF with the fallback ladder: preferred settings -> damped/level-
-    shifted retry (reference 3-rung ladder, opt-freq.py:146-184)."""
-    mf, is_mp2 = make_scf(mol, method, density_fit, **opts)
-    e = mf.kernel(dm0=dm0)
-    if not mf.converged:
-        if log:
-            log("SCF not converged; retrying with level shift + damping")
-        mf2, _ = make_scf(mol, method, density_fit,
-                          level_shift=0.3, damp=0.3, max_cycle=200, **opts)
-        e2 = mf2.kernel(dm0=mf.make_rdm1())
-        if mf2.converged:
-            mf = mf2
-            e = e2
+    shifted retry (reference 3-rung ladder, opt-freq.py:146-184).
+    Warm-starts from / stores to the configured SCF cache."""
+    import contextlib
+    timer = (PHASES.phase(f"scf:{method}") if PHASES is not None
+             else contextlib.nullcontext())
+    with timer:
+        if dm0 is None and _SCF_CACHE is not None:
+            dm0 = _SCF_CACHE.get(mol, method)
+            if dm0 is not None and log:
+                log("SCF warm start from checkpoint cache")
+        mf, is_mp2 = make_scf(mol, method, density_fit, **opts)
+        e = mf.kernel(dm0=dm0)
+        if not mf.converged:
+            if log:
+                log("SCF not converged; retrying with level shift + damping")
+            mf2, _ = make_scf(mol, method, density_fit,
+                              level_shift=0.3, damp=0.3, max_cycle=200,
+                              **opts)
+            e2 = mf2.kernel(dm0=mf.make_rdm1())
+            if mf2.converged:
+                mf = mf2
+                e = e2
+        if _SCF_CACHE is not None and mf.converged:
+            try:
+                _SCF_CACHE.put(mf, method)
+            except Exception:
+                pass
     if is_mp2:
         from cctpu.mp.mp2 import MP2
         pt = MP2(mf)

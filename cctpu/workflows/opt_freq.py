@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from cctpu.geomopt.optimizer import optimize
-from cctpu.hessian.frequencies import harmonic_analysis, hessian_fd
+from cctpu.hessian.frequencies import harmonic_analysis, hessian_auto
 from cctpu.hessian.thermo import thermo
 from cctpu.workflows.common import (Timer, add_common_args, build_molecule,
                                     make_scf, open_reports)
@@ -40,8 +40,12 @@ def main(argv=None):
     res = optimize(factory, mol, maxsteps=args.maxsteps, verbose=1)
     out.print(f"  E = {res.e_tot:.10f} Ha  converged={res.converged}")
 
-    out.print("[3/5] Hessian + dipole derivatives (one fused FD sweep)")
-    H, dmu = hessian_fd(factory, res.mol, dm0=res.mf.dm)
+    # Hessian ladder (reference's GPU-Hessian -> CPU fallback,
+    # opt-freq.py:390-417): analytic AD-CPHF (restricted refs; one compile,
+    # 3N CG solves, no 6N SCF sweep) -> fused-FD fallback
+    out.print("[3/5] Hessian + dipole derivatives")
+    H, dmu = hessian_auto(res.mf, factory, res.mol, dm0=res.mf.dm,
+                          log=out.print)
     ha = harmonic_analysis(res.mol, H, dmu)
 
     out.print("[4/5] harmonic analysis")

@@ -14,7 +14,8 @@ import numpy as np
 
 from cctpu.core.constants import BOHR
 from cctpu.geomopt.optimizer import optimize
-from cctpu.hessian.frequencies import harmonic_analysis, hessian_fd
+from cctpu.hessian.frequencies import (harmonic_analysis, hessian_auto,
+                                        hessian_fd)
 from cctpu.hessian.thermo import thermo
 from cctpu.workflows.common import (Timer, add_common_args, build_molecule,
                                     make_scf, open_reports, sanitize)
@@ -55,7 +56,7 @@ def main(argv=None):
 
     if not args.skip_freq:
         out.print("\ncomputing Hessian (FD of analytic gradients)...")
-        H, dmu = hessian_fd(factory, res.mol, dm0=res.mf.dm)
+        H, dmu = hessian_auto(res.mf, factory, res.mol, dm0=res.mf.dm)
         ha = harmonic_analysis(res.mol, H, dmu)
         out.print(f"frequencies (cm-1): "
                   f"{np.array2string(ha.freq_wavenumber, precision=1)}")
