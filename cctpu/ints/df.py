@@ -225,6 +225,17 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
                 ))[:, :, 0, :, 0]                 # [n, sP, sP]
                 diag = np.abs(np.einsum("qaa->qa", blk))
                 q_aux_max = max(q_aux_max, float(np.sqrt(diag.max())))
+    # Two-phase assembly: dispatch every chunk's kernel WITHOUT forcing the
+    # result (JAX dispatch is async), materialize + scatter in waves. On the
+    # axon-tunneled TPU each forced result is a full round trip; serialized
+    # per-chunk sync made the B build latency-bound at production sizes.
+    pending = []
+
+    def _flush():
+        for blocks_dev, scatter in pending:
+            scatter(np.asarray(blocks_dev))
+        pending.clear()
+
     for lP in sorted(aux.groups):
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
@@ -251,7 +262,7 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
             sa, sb = nsph(pc.la), nsph(pc.lb)
             for s in range(0, len(q1), chunk):
                 s1, s2, pm = q1[s:s+chunk], q2[s:s+chunk], padm[s:s+chunk]
-                blocks = np.asarray(vkern(
+                blocks_dev = vkern(
                     jnp.asarray(gP.exps[s1]), jnp.asarray(gP.coefs[s1]),
                     coords[gP.atom_idx[s1]],
                     de[None, :].repeat(len(s1), 0),
@@ -261,7 +272,7 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
                     coords[pc.atom_a[s2]],
                     jnp.asarray(pc.exps_b[s2]), jnp.asarray(pc.coefs_b[s2]),
                     coords[pc.atom_b[s2]],
-                ))[:, :, 0, :, :]                   # [chunk, sP, sa, sb]
+                )
                 P_idx = np.where(pm[:, None], naux,
                                  gP.ao_start[s1][:, None] + np.arange(sP))
                 A_idx = np.where(pm[:, None], nao,
@@ -271,9 +282,17 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
                 pi = P_idx[:, :, None, None]
                 ai = A_idx[:, None, :, None]
                 bi = B_idx[:, None, None, :]
-                out[pi, ai, bi] = blocks
-                out[pi, bi.swapaxes(2, 3), ai.swapaxes(2, 3)] = \
-                    blocks.swapaxes(2, 3)
+
+                def scatter(blocks, pi=pi, ai=ai, bi=bi):
+                    blocks = blocks[:, :, 0, :, :]  # [chunk, sP, sa, sb]
+                    out[pi, ai, bi] = blocks
+                    out[pi, bi.swapaxes(2, 3), ai.swapaxes(2, 3)] = \
+                        blocks.swapaxes(2, 3)
+
+                pending.append((blocks_dev, scatter))
+                if len(pending) >= 64:
+                    _flush()
+    _flush()
     return out[:naux, :nao, :nao]
 
 
@@ -285,6 +304,7 @@ def build_2c2e_eager(aux: BasisSet, coords,
     de = jnp.asarray(_DUMMY_E)
     dc = jnp.asarray(_DUMMY_C)
     ls_sorted = sorted(aux.groups)
+    pending = []           # async-dispatch waves (see build_3c2e_eager)
     for i, lP in enumerate(ls_sorted):
         gP = aux.groups[lP]
         for lQ in ls_sorted[i:]:
@@ -306,7 +326,7 @@ def build_2c2e_eager(aux: BasisSet, coords,
             sP, sQ = nsph(lP), nsph(lQ)
             for s in range(0, len(q1), chunk):
                 s1, s2 = q1[s:s + chunk], q2[s:s + chunk]
-                blocks = np.asarray(vkern(
+                blocks_dev = vkern(
                     jnp.asarray(gP.exps[s1]), jnp.asarray(gP.coefs[s1]),
                     coords[gP.atom_idx[s1]],
                     de[None, :].repeat(len(s1), 0),
@@ -317,13 +337,25 @@ def build_2c2e_eager(aux: BasisSet, coords,
                     de[None, :].repeat(len(s2), 0),
                     dc[None, :].repeat(len(s2), 0),
                     coords[gQ.atom_idx[s2]],
-                ))[:, :, 0, :, 0]
+                )
                 nq = min(chunk, nreal - s)
-                for t in range(max(nq, 0)):
-                    P0 = gP.ao_start[s1[t]]
-                    Q0 = gQ.ao_start[s2[t]]
-                    out[P0:P0+sP, Q0:Q0+sQ] = blocks[t]
-                    out[Q0:Q0+sQ, P0:P0+sP] = blocks[t].T
+
+                def scatter(blocks, s1=s1, s2=s2, nq=nq, gP=gP, gQ=gQ,
+                            sP=sP, sQ=sQ):
+                    blocks = blocks[:, :, 0, :, 0]
+                    for t in range(max(nq, 0)):
+                        P0 = gP.ao_start[s1[t]]
+                        Q0 = gQ.ao_start[s2[t]]
+                        out[P0:P0+sP, Q0:Q0+sQ] = blocks[t]
+                        out[Q0:Q0+sQ, P0:P0+sP] = blocks[t].T
+
+                pending.append((blocks_dev, scatter))
+                if len(pending) >= 64:
+                    for bdev, sc in pending:
+                        sc(np.asarray(bdev))
+                    pending.clear()
+    for bdev, sc in pending:
+        sc(np.asarray(bdev))
     return out
 
 

@@ -306,6 +306,7 @@ def energy_2e_grad_eager(basis: BasisSet, coords, dm, k_weight: float = 1.0,
     pcs = pair_classes(basis)
     qs = schwarz_q(pcs, coords)
     gtot = np.zeros(coords.shape)
+    g_pending = []         # async dispatch waves (axon round-trip latency)
     for i1, p1 in enumerate(pcs):
         for j2, p2 in enumerate(pcs[i1:]):
             same = p1 is p2
@@ -360,7 +361,13 @@ def energy_2e_grad_eager(basis: BasisSet, coords, dm, k_weight: float = 1.0,
                         jnp.asarray(p2.exps_b[sl2]),
                         jnp.asarray(p2.coefs_b[sl2]),
                         jnp.asarray(p2.atom_b[sl2]), jnp.asarray(aoD))
-                gtot += np.asarray(g)
+                g_pending.append(g)
+                if len(g_pending) >= 64:
+                    for gg in g_pending:
+                        gtot += np.asarray(gg)
+                    g_pending.clear()
+    for gg in g_pending:
+        gtot += np.asarray(gg)
     return gtot
 
 
@@ -420,6 +427,7 @@ def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
     item 1). Host-side, evaluated once per geometry."""
     coords = jnp.asarray(coords)
     out = []
+    pending = []           # async dispatch, materialized in one wave
     for pc in pcs:
         ls = (pc.la, pc.lb, pc.la, pc.lb)
         vkern = _quartet_vmapped(ls, None)
@@ -431,7 +439,7 @@ def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
         idxp = np.concatenate([idx, np.zeros(npad, np.int64)])
         for s in range(0, len(idxp), chunk):
             sl = idxp[s:s + chunk]
-            blocks = np.asarray(vkern(
+            blocks_dev = vkern(
                 jnp.asarray(pc.exps_a[sl]), jnp.asarray(pc.coefs_a[sl]),
                 coords[pc.atom_a[sl]],
                 jnp.asarray(pc.exps_b[sl]), jnp.asarray(pc.coefs_b[sl]),
@@ -439,12 +447,18 @@ def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
                 jnp.asarray(pc.exps_a[sl]), jnp.asarray(pc.coefs_a[sl]),
                 coords[pc.atom_a[sl]],
                 jnp.asarray(pc.exps_b[sl]), jnp.asarray(pc.coefs_b[sl]),
-                coords[pc.atom_b[sl]]))      # [chunk, sa, sb, sa, sb]
-            diag = np.abs(np.einsum("qabab->qab", blocks))
+                coords[pc.atom_b[sl]])       # [chunk, sa, sb, sa, sb]
             nq = min(chunk, pc.n - s)
-            if nq > 0:
-                q[s:s + nq] = np.sqrt(diag.max(axis=(1, 2)))[:nq]
+
+            def fill(blocks, q=q, s=s, nq=nq):
+                if nq > 0:
+                    diag = np.abs(np.einsum("qabab->qab", blocks))
+                    q[s:s + nq] = np.sqrt(diag.max(axis=(1, 2)))[:nq]
+
+            pending.append((blocks_dev, fill))
         out.append(q)
+    for bdev, fill in pending:
+        fill(np.asarray(bdev))
     return out
 
 
