@@ -34,9 +34,12 @@ def _round_up(x, m):
 
 
 def _tile_rows(ncols: int, budget_bytes: int = 4 * 1024 * 1024,
-               lo: int = 1, hi: int = 256) -> int:
-    """Rows per VMEM block so a [rows, ncols] f32 tile stays under budget."""
+               lo: int = 8, hi: int = 256) -> int:
+    """Rows per VMEM block so a [rows, ncols] f32 tile stays under budget.
+    Multiple of 8: Mosaic requires the sublane dim of a non-full block to
+    be 8-divisible (hit at phenol size, nao^2 = 12100 -> 86 rows)."""
     rows = budget_bytes // max(ncols * 4, 1)
+    rows = (rows // 8) * 8
     return int(max(lo, min(hi, rows)))
 
 
