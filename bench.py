@@ -51,7 +51,7 @@ def _log(msg):
           flush=True)
 
 
-def run_config(name, atoms, basis, grid_level, max_cycle=25, n_timed=8):
+def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8):
     import jax
     import jax.numpy as jnp
     from cctpu.core.molecule import Molecule

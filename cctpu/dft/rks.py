@@ -52,15 +52,28 @@ class _XCMixin:
                                                       self.grid_chunk)
 
     def _prepare_xc_f32(self):
-        """Eager f32 copies of the grid chunks (outside any trace)."""
+        """Eager f32 copies of the grid chunks (outside any trace), plus a
+        per-geometry AO-value cache: grid AOs are dm-independent, so the
+        f32 SCF phase shouldn't re-run the basis evaluation every cycle."""
         if self.func.xctype != "HF" and not hasattr(self, "_pts_chunks32"):
             self._pts_chunks32 = self._pts_chunks.astype(jnp.float32)
             self._w_chunks32 = self._w_chunks.astype(jnp.float32)
             self._coords32 = self.coords.astype(jnp.float32)
+            nchunk, chunk = self._w_chunks.shape
+            est_bytes = nchunk * 4 * chunk * self.mol.nao * 4
+            if est_bytes <= 3e9:        # cache gate: HBM headroom
+                ev = jax.jit(lambda p: eval_ao(
+                    self.mol.basis_set, self._coords32, p,
+                    deriv=1).astype(jnp.float32))
+                self._ao_chunks32 = jnp.stack(
+                    [ev(self._pts_chunks32[k]) for k in range(nchunk)])
 
     def _exc_total(self, dm):
         """E_xc[D] on the cached grid (fixed geometry; follows dm dtype)."""
         if dm.dtype == jnp.float32:
+            if hasattr(self, "_ao_chunks32"):
+                return self._exc_cached(dm, self._ao_chunks32,
+                                        self._w_chunks32)
             if not hasattr(self, "_pts_chunks32"):
                 # inside-trace safe: no attribute assignment
                 return self._exc_with(dm, self.coords.astype(jnp.float32),
@@ -71,6 +84,20 @@ class _XCMixin:
         return self._exc_with(dm, self.coords, self._pts_chunks,
                               self._w_chunks)
 
+    def _exc_cached(self, dm, ao_chunks, w_chunks):
+        """E_xc[D] from precomputed AO chunks [nchunk, 4, chunk, nao]."""
+        func = self.func
+        restricted = dm.ndim == 2
+
+        def body(acc, chunk):
+            ao, w = chunk
+            return acc + self._chunk_exc_from_ao(func, restricted, dm, ao,
+                                                 w), None
+
+        total, _ = jax.lax.scan(body, jnp.asarray(0.0, dm.dtype),
+                                (ao_chunks, w_chunks))
+        return total
+
     def exc_of_coords(self, coords, dm):
         """E_xc[D] rebuilt at arbitrary coords (differentiable — used by
         the nuclear-gradient path; includes grid-weight derivatives)."""
@@ -78,55 +105,59 @@ class _XCMixin:
         pts_c, w_c = _chunk_pts(pts, w, self.grid_chunk)
         return self._exc_with(dm, coords, pts_c, w_c)
 
+    @staticmethod
+    def _chunk_exc_from_ao(func, restricted, dm, ao, w):
+        """Integrated XC energy of one grid chunk given AO values
+        ao [4, chunk, nao] (value + 3 gradients)."""
+        a0 = ao[0]
+        if restricted:
+            Dh = 0.5 * dm
+            da = jnp.einsum("ij,pj->pi", Dh, a0)
+            ra = jnp.einsum("pi,pi->p", a0, da)
+            rb = ra
+            ga = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], da)
+                            for d in range(3)], -1)
+            gb = ga
+        else:
+            da = jnp.einsum("ij,pj->pi", dm[0], a0)
+            db = jnp.einsum("ij,pj->pi", dm[1], a0)
+            ra = jnp.einsum("pi,pi->p", a0, da)
+            rb = jnp.einsum("pi,pi->p", a0, db)
+            ga = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], da)
+                            for d in range(3)], -1)
+            gb = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], db)
+                            for d in range(3)], -1)
+        saa = jnp.einsum("pd,pd->p", ga, ga)
+        sab = jnp.einsum("pd,pd->p", ga, gb)
+        sbb = jnp.einsum("pd,pd->p", gb, gb)
+        if func.xctype == "MGGA":
+            if restricted:
+                ta = 0.25 * sum(
+                    jnp.einsum("pi,ij,pj->p", ao[1 + d], dm, ao[1 + d])
+                    for d in range(3))
+                tb = ta
+            else:
+                ta = 0.5 * sum(
+                    jnp.einsum("pi,ij,pj->p", ao[1 + d], dm[0], ao[1 + d])
+                    for d in range(3))
+                tb = 0.5 * sum(
+                    jnp.einsum("pi,ij,pj->p", ao[1 + d], dm[1], ao[1 + d])
+                    for d in range(3))
+        else:
+            ta = tb = jnp.zeros_like(ra)
+        e = func.exc(ra, rb, saa, sab, sbb, ta, tb)
+        return jnp.sum(w * e)
+
     def _exc_with(self, dm, coords, pts_chunks, w_chunks):
         func = self.func
         basis = self.mol.basis_set
         restricted = dm.ndim == 2
 
-        def chunk_exc(pts, w):
-            ao = eval_ao(basis, coords, pts, deriv=1)
-            a0 = ao[0]
-            if restricted:
-                Dh = 0.5 * dm
-                da = jnp.einsum("ij,pj->pi", Dh, a0)
-                ra = jnp.einsum("pi,pi->p", a0, da)
-                rb = ra
-                ga = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], da)
-                                for d in range(3)], -1)
-                gb = ga
-            else:
-                da = jnp.einsum("ij,pj->pi", dm[0], a0)
-                db = jnp.einsum("ij,pj->pi", dm[1], a0)
-                ra = jnp.einsum("pi,pi->p", a0, da)
-                rb = jnp.einsum("pi,pi->p", a0, db)
-                ga = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], da)
-                                for d in range(3)], -1)
-                gb = jnp.stack([2 * jnp.einsum("pi,pi->p", ao[1 + d], db)
-                                for d in range(3)], -1)
-            saa = jnp.einsum("pd,pd->p", ga, ga)
-            sab = jnp.einsum("pd,pd->p", ga, gb)
-            sbb = jnp.einsum("pd,pd->p", gb, gb)
-            if func.xctype == "MGGA":
-                if restricted:
-                    ta = 0.25 * sum(
-                        jnp.einsum("pi,ij,pj->p", ao[1 + d], dm, ao[1 + d])
-                        for d in range(3))
-                    tb = ta
-                else:
-                    ta = 0.5 * sum(
-                        jnp.einsum("pi,ij,pj->p", ao[1 + d], dm[0], ao[1 + d])
-                        for d in range(3))
-                    tb = 0.5 * sum(
-                        jnp.einsum("pi,ij,pj->p", ao[1 + d], dm[1], ao[1 + d])
-                        for d in range(3))
-            else:
-                ta = tb = jnp.zeros_like(ra)
-            e = func.exc(ra, rb, saa, sab, sbb, ta, tb)
-            return jnp.sum(w * e)
-
         def body(acc, chunk):
             pts, w = chunk
-            return acc + chunk_exc(pts, w), None
+            ao = eval_ao(basis, coords, pts, deriv=1)
+            return acc + self._chunk_exc_from_ao(func, restricted, dm, ao,
+                                                 w), None
 
         total, _ = jax.lax.scan(body, 0.0, (pts_chunks, w_chunks))
         return total
@@ -154,8 +185,8 @@ class RKS(_XCMixin, RHF):
             veff = veff - 0.5 * beta * Klr
             e2 = e2 - 0.25 * beta * jnp.einsum("ij,ij->", dm, Klr)
         if func.exc is not None:
-            exc = self._exc_total(dm)
-            vxc = jax.grad(self._exc_total)(dm)
+            # one fused pass for E_xc and its dm-gradient (was two)
+            exc, vxc = jax.value_and_grad(self._exc_total)(dm)
             # project onto symmetric matrices: D is constrained symmetric,
             # and the GGA terms make the raw AD gradient asymmetric
             vxc = 0.5 * (vxc + vxc.T)
@@ -187,8 +218,7 @@ class UKS(_XCMixin, UHF):
             veff = veff - beta * Klr
             e2 = e2 - 0.5 * beta * jnp.einsum("sij,sij->", dm, Klr)
         if func.exc is not None:
-            exc = self._exc_total(dm)
-            vxc = jax.grad(self._exc_total)(dm)
+            exc, vxc = jax.value_and_grad(self._exc_total)(dm)
             vxc = 0.5 * (vxc + jnp.swapaxes(vxc, -1, -2))
             veff = veff + vxc
             e2 = e2 + exc
