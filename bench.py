@@ -11,6 +11,7 @@ f64 (XLA einsum) timed alongside for comparison. ``vs_baseline`` stays 0.0
 """
 
 import json
+import signal
 import time
 
 BUDGET_S = 2100.0   # leave headroom under the driver's timeout
@@ -82,30 +83,33 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8):
     f32 = jnp.float32
     mf._jk.prepare_dtype(f32)
     mf._prepare_xc_f32()
-    step32 = jax.jit(mf._make_step(H.astype(f32), S.astype(f32),
-                                   _orthogonalizer(S.astype(f32))))
+    step32 = mf._jit_step(H.astype(f32), S.astype(f32),
+                          _orthogonalizer(S.astype(f32)))
+    c32 = mf._step_consts(f32)
     diis = diis_init(mf.opts.diis_space, mf._diis_size(mf.dm), dtype=f32)
     dm32 = mf.dm.astype(f32)
     cocc32 = jax.tree.map(lambda c: c.astype(f32), mf._factor_cocc(mf.dm))
     with jax.default_matmul_precision("highest"):
-        out = step32(diis, dm32, cocc32, jnp.asarray(True))
+        out = step32(c32, diis, dm32, cocc32, jnp.asarray(True))
         out[1].block_until_ready()
         t0 = time.time()
         for _ in range(n_timed):
-            out = step32(out[0], out[1], out[2], jnp.asarray(True))
+            out = step32(c32, out[0], out[1], out[2], jnp.asarray(True))
         out[1].block_until_ready()
         per_iter = (time.time() - t0) / n_timed
 
     per_iter64 = None
     if left() > 4 * per_iter * n_timed + 120:
         X = _orthogonalizer(S)
-        step64 = jax.jit(mf._make_step(H, S, X))
+        step64 = mf._jit_step(H, S, X)
+        c64 = mf._step_consts(jnp.float64)
         d64 = diis_init(mf.opts.diis_space, mf._diis_size(mf.dm))
-        o64 = step64(d64, mf.dm, mf._factor_cocc(mf.dm), jnp.asarray(True))
+        o64 = step64(c64, d64, mf.dm, mf._factor_cocc(mf.dm),
+                     jnp.asarray(True))
         o64[1].block_until_ready()
         t0 = time.time()
         for _ in range(4):
-            o64 = step64(o64[0], o64[1], o64[2], jnp.asarray(True))
+            o64 = step64(c64, o64[0], o64[1], o64[2], jnp.asarray(True))
         o64[1].block_until_ready()
         per_iter64 = round((time.time() - t0) / 4, 4)
     return {
@@ -141,19 +145,29 @@ def main():
         ("c32h66_631gs", alkane(32), "6-31g*", 0.75),
     ]
     result = None
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench budget exhausted mid-stage")
+
+    signal.signal(signal.SIGALRM, _alarm)
     for name, atoms, basis, frac_gate in stages:
         if result is not None and (time.time() - T_START) > BUDGET_S * \
                 frac_gate:
             break
         try:
+            # abort a stage that would blow past the budget, so the JSON
+            # line for the best completed stage still prints
+            signal.alarm(max(int(left()), 1))
             r = run_config(name, atoms, basis, grid_level=2)
+            signal.alarm(0)
             r["extra"]["stage_s"] = round(time.time() - T_START, 1)
             if result is not None:
                 r["extra"]["prev"] = {
                     result["metric"]: result["value"],
                     "f64": result["extra"]["f64_s_per_cycle"]}
             result = r
-        except Exception as exc:
+        except BaseException as exc:
+            signal.alarm(0)
             if result is None:
                 result = {"metric": "bench_failed", "value": -1.0,
                           "unit": "s", "vs_baseline": 0.0,

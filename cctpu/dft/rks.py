@@ -68,8 +68,30 @@ class _XCMixin:
                 self._ao_chunks32 = jnp.stack(
                     [ev(self._pts_chunks32[k]) for k in range(nchunk)])
 
+    _xc_override = None   # bound pytree of jit arguments (SCFBase._bind_consts)
+
+    def _xc_consts(self, dtype):
+        """Geometry-constant grid tensors for argument-threading through the
+        jitted SCF step. Dict KEYS are static pytree structure, so _exc_total
+        can branch on them at trace time: {"ao": (ao_chunks, w)} when the AO
+        cache fits HBM, else {"pts": (coords, pts_chunks, w)}."""
+        if self.func.xctype == "HF":
+            return None
+        if dtype == jnp.float32:
+            self._prepare_xc_f32()
+            if hasattr(self, "_ao_chunks32"):
+                return {"ao": (self._ao_chunks32, self._w_chunks32)}
+            return {"pts": (self._coords32, self._pts_chunks32,
+                            self._w_chunks32)}
+        return {"pts": (self.coords, self._pts_chunks, self._w_chunks)}
+
     def _exc_total(self, dm):
         """E_xc[D] on the cached grid (fixed geometry; follows dm dtype)."""
+        ov = self._xc_override
+        if ov is not None:
+            if "ao" in ov:
+                return self._exc_cached(dm, *ov["ao"])
+            return self._exc_with(dm, *ov["pts"])
         if dm.dtype == jnp.float32:
             if hasattr(self, "_ao_chunks32"):
                 return self._exc_cached(dm, self._ao_chunks32,

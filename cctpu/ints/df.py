@@ -402,13 +402,45 @@ class _BContractions:
     ((ij|kl) ~= sum_P B[P,i,j] B[P,k,l]) — used by both basis-set DF and
     pivoted-Cholesky builders. Pallas TPU kernels in f32."""
 
+    # When set (see SCFBase._bind_consts), B / B_lr come from this pytree of
+    # jit ARGUMENTS instead of closure constants. Closure arrays get inlined
+    # into the serialized HLO: at nao>~100 that overflows the axon
+    # remote-compile request (HTTP 413), and it keys the compile cache on the
+    # geometry so every new geometry recompiles the step.
+    _consts_override = None
+
     def prepare_dtype(self, dtype):
         """Eagerly cache the cast B (must run OUTSIDE any jit trace —
         assigning inside a trace would leak a tracer)."""
         if dtype != self.B.dtype:
-            self._B_cast = self.B.astype(dtype)
+            cached = getattr(self, "_B_cast", None)
+            if cached is None or cached.dtype != dtype:
+                self._B_cast = self.B.astype(dtype)
+
+    def consts(self, dtype):
+        """Geometry-constant tensors for argument-threading through a
+        jitted step: B (cast to ``dtype``) + any prepared LR variants."""
+        self.prepare_dtype(dtype)
+        out = {"B": self._cast_B(dtype)}
+        lr = getattr(self, "_B_lr", None)
+        if lr:
+            cache = self.__dict__.setdefault("_B_lr_cast", {})
+            blr = {}
+            for om, b in lr.items():
+                if b.dtype == dtype:
+                    blr[om] = b
+                else:
+                    key = (om, jnp.dtype(dtype).name)
+                    if key not in cache:
+                        cache[key] = b.astype(dtype)
+                    blr[om] = cache[key]
+            out["B_lr"] = blr
+        return out
 
     def _cast_B(self, dtype):
+        ov = self._consts_override
+        if ov is not None:
+            return ov["B"]
         if dtype == self.B.dtype:
             return self.B
         cached = getattr(self, "_B_cast", None)
@@ -461,6 +493,9 @@ class CholeskyJK(_BContractions):
         self._eri_lr = {}
 
     def k_lr(self, dm, omega: float, cocc=None):
+        ov = self._consts_override
+        if ov is not None and omega in ov.get("eri_lr", {}):
+            return jnp.einsum("ikjl,...kl->...ij", ov["eri_lr"][omega], dm)
         if omega not in self._eri_lr:
             # LR exchange via the attenuated in-core ERI (exact)
             from cctpu.ints.two_electron import build_eri_incore
@@ -473,6 +508,18 @@ class CholeskyJK(_BContractions):
     def prepare_lr(self, omega: float):
         if omega not in self._eri_lr:
             self.k_lr(jnp.zeros((self._mol.nao, self._mol.nao)), omega)
+
+    def consts(self, dtype):
+        out = super().consts(dtype)
+        if self._eri_lr:
+            cache = self.__dict__.setdefault("_eri_lr_cast", {})
+            out["eri_lr"] = {}
+            for om, e in self._eri_lr.items():
+                key = (om, jnp.dtype(dtype).name)
+                if e.dtype != dtype and key not in cache:
+                    cache[key] = e.astype(dtype)
+                out["eri_lr"][om] = e if e.dtype == dtype else cache[key]
+        return out
 
 
 class DFJK(_BContractions):
@@ -527,6 +574,11 @@ class DFJK(_BContractions):
     def k_lr(self, dm, omega: float, cocc=None):
         """Long-range exchange via attenuated-metric DF:
         K_lr ~ X_lr M_lr^{-1} X_lr with both factors erf-attenuated."""
+        ov = self._consts_override
+        if ov is not None and omega in ov.get("B_lr", {}):
+            B = ov["B_lr"][omega]
+            return self._k_of(B, dm, cocc) if cocc is not None else \
+                jnp.einsum("pik,...kl,pjl->...ij", B, dm, B)
         self._ensure_lr(omega)
         B = self._B_lr[omega].astype(dm.dtype if dm is not None
                                      else jnp.float64)

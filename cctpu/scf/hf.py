@@ -10,6 +10,7 @@ Supports the reference's ``kernel(dm0=dm)`` warm-start idiom
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Callable, Optional, Tuple
@@ -32,6 +33,8 @@ from cctpu.scf.diis import diis_init, diis_update
 class IncoreJK:
     """J/K from the full in-core ERI tensor (validation / small systems)."""
 
+    _consts_override = None   # see SCFBase._bind_consts
+
     def __init__(self, mol: Molecule, coords=None):
         self._mol = mol
         self._coords = jnp.asarray(mol.coords if coords is None else coords)
@@ -47,9 +50,29 @@ class IncoreJK:
 
     def prepare_dtype(self, dtype):
         if dtype != self.eri.dtype:
-            self._eri_cast = self.eri.astype(dtype)
+            cached = getattr(self, "_eri_cast", None)
+            if cached is None or cached.dtype != dtype:
+                self._eri_cast = self.eri.astype(dtype)
+
+    def consts(self, dtype):
+        """Geometry-constant tensors for argument-threading (the in-core
+        ERI is nao^4 — the worst offender as an inlined HLO constant)."""
+        self.prepare_dtype(dtype)
+        out = {"eri": self._cast_eri(dtype)}
+        if self._eri_lr:
+            cache = self.__dict__.setdefault("_eri_lr_cast", {})
+            out["eri_lr"] = {}
+            for om, e in self._eri_lr.items():
+                key = (om, jnp.dtype(dtype).name)
+                if e.dtype != dtype and key not in cache:
+                    cache[key] = e.astype(dtype)
+                out["eri_lr"][om] = e if e.dtype == dtype else cache[key]
+        return out
 
     def _cast_eri(self, dtype):
+        ov = self._consts_override
+        if ov is not None:
+            return ov["eri"]
         if dtype == self.eri.dtype:
             return self.eri
         cached = getattr(self, "_eri_cast", None)
@@ -66,6 +89,9 @@ class IncoreJK:
         """Long-range (erf-attenuated) exchange for RSH functionals.
         (prepare_lr must run before tracing — the builder is host-side.)"""
         del cocc
+        ov = self._consts_override
+        if ov is not None and omega in ov.get("eri_lr", {}):
+            return jnp.einsum("ikjl,...kl->...ij", ov["eri_lr"][omega], dm)
         self.prepare_lr(omega)
         return jnp.einsum("ikjl,...kl->...ij", self._eri_lr[omega], dm)
 
@@ -283,6 +309,53 @@ class SCFBase:
     def energy_elec(self, dm, H, veff_e, ecoul):
         raise NotImplementedError
 
+    # -- geometry-constant tensor threading ------------------------------------
+    # Large dm-independent tensors (DF B / in-core ERI / cached grid AOs) must
+    # reach the jitted step as ARGUMENTS, not closure constants: closures are
+    # inlined into the serialized HLO, which (a) overflows the axon
+    # remote-compile request (HTTP 413 at phenol scale with the AO cache) and
+    # (b) keys the compile cache on the geometry, forcing a recompile per
+    # geometry in opt/Hessian/BDE sweeps.
+
+    def _step_consts(self, dtype):
+        consts = {}
+        jk = getattr(self, "_jk", None)
+        if jk is not None and hasattr(jk, "consts"):
+            consts["jk"] = jk.consts(dtype)
+        if hasattr(self, "_xc_consts"):
+            xc = self._xc_consts(dtype)
+            if xc is not None:
+                consts["xc"] = xc
+        return consts
+
+    @contextlib.contextmanager
+    def _bind_consts(self, consts):
+        """Route self._jk / XC reads to the passed pytree for the duration of
+        a trace (entered inside the traced function, so the leaves are the
+        step's argument tracers)."""
+        jk = getattr(self, "_jk", None)
+        try:
+            if jk is not None and "jk" in consts:
+                jk._consts_override = consts["jk"]
+            if "xc" in consts:
+                self._xc_override = consts["xc"]
+            yield
+        finally:
+            if jk is not None:
+                jk._consts_override = None
+            self._xc_override = None
+
+    def _jit_step(self, H, S, X):
+        """jit-compiled SCF step taking the geometry-constant tensors as a
+        leading pytree argument: step(consts, diis, dm, cocc, use_diis)."""
+        raw = self._make_step(H, S, X)
+
+        def step(consts, diis, dm, cocc, use_diis):
+            with self._bind_consts(consts):
+                return raw(diis, dm, cocc, use_diis)
+
+        return jax.jit(step)
+
     # -- main loop -------------------------------------------------------------
     def kernel(self, dm0=None) -> float:
         o = self.opts
@@ -315,8 +388,9 @@ class SCFBase:
                 self._jk.prepare_dtype(f32)
             if hasattr(self, "_prepare_xc_f32"):
                 self._prepare_xc_f32()
-            step32 = jax.jit(self._make_step(H.astype(f32), S.astype(f32),
-                                             _orthogonalizer(S.astype(f32))))
+            step32 = self._jit_step(H.astype(f32), S.astype(f32),
+                                    _orthogonalizer(S.astype(f32)))
+            consts32 = self._step_consts(f32)
             diis32 = diis_init(o.diis_space, self._diis_size(dm),
                                dtype=f32)
             dm32 = dm.astype(f32)
@@ -330,7 +404,7 @@ class SCFBase:
                 # error above the f32 exit threshold
                 with jax.default_matmul_precision("highest"):
                     (diis32, dm32, cocc32, e_elec, err_norm, mo_e,
-                     mo_c) = step32(diis32, dm32, cocc32,
+                     mo_c) = step32(consts32, diis32, dm32, cocc32,
                                     jnp.asarray(use_diis))
                 e_tot = float(e_elec) + e_nuc
                 de = e_tot - e_last
@@ -353,7 +427,8 @@ class SCFBase:
                 return self.e_tot
 
         diis = diis_init(o.diis_space, self._diis_size(dm))
-        step = jax.jit(self._make_step(H, S, X))
+        step = self._jit_step(H, S, X)
+        consts = self._step_consts(jnp.float64)
 
         e_last = 0.0
         dm_last = dm
@@ -365,7 +440,7 @@ class SCFBase:
                 cocc = self._factor_cocc(dm_in)
             use_diis = cycle >= o.diis_start
             diis, dm_new, cocc, e_elec, err_norm, mo_e, mo_c = step(
-                diis, dm_in, cocc, jnp.asarray(use_diis))
+                consts, diis, dm_in, cocc, jnp.asarray(use_diis))
             e_tot = float(e_elec) + e_nuc
             de = e_tot - e_last
             if o.verbose >= 2:
