@@ -52,7 +52,8 @@ def _log(msg):
           flush=True)
 
 
-def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8):
+def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
+               solve=True):
     import jax
     import jax.numpy as jnp
     from cctpu.core.molecule import Molecule
@@ -62,19 +63,29 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8):
 
     mol = Molecule.from_atoms(atoms, basis=basis)
     _log(f"{name}: nao={mol.nao} building DF + grids")
-    # conv_tol 1e-8: the v5e f64 emulation (float32 pairs) has a ~1e-9
-    # noise floor on dE; mixed precision = f32 MXU-native iterations
-    # (Pallas DF-J/K) + f64 polish (validated to 1e-13 vs pure f64)
+    # conv_tol 1e-7: the v5e f64 emulation (float32 pairs) has a ~1e-9
+    # RELATIVE noise floor on dE (~3e-7 Ha at |E|~300), so 1e-8 absolute
+    # is unreachable at phenol scale; mixed precision = f32 MXU-native
+    # iterations (Pallas DF-J/K) + f64 polish (1e-13 vs pure f64 on CPU)
     t_build0 = time.time()
     mf = RKS(mol, xc="b3lyp", density_fit=True, max_cycle=max_cycle,
-             conv_tol=1e-8, precision="mixed")
+             conv_tol=1e-7, precision="mixed")
     mf.grid_level = grid_level
     mf._setup_xc()
     mf.get_jk_builder()
-    _log(f"{name}: naux={mf._jk.aux.nao} B built; SCF solve")
-    e = mf.kernel()
+    _log(f"{name}: naux={mf._jk.aux.nao} B built; "
+         f"{'SCF solve' if solve else 'timing-only (SAD start)'}")
+    if solve:
+        e = mf.kernel()
+    else:
+        # large stages: the metric is s/cycle of the f32 step; smaller
+        # stages anchor correctness, so start from the SAD guess here
+        e = float("nan")
+        mf.dm = mf.init_guess_dm()
+        mf.converged = False
     t_solve = time.time() - t_build0
-    _log(f"{name}: E={e:.6f} conv={mf.converged} solve={t_solve:.0f}s; "
+    _log(f"{name}: E={e:.6f} conv={mf.converged} "
+         f"build{'+solve' if solve else ''}={t_solve:.0f}s; "
          f"timing f32 step")
 
     ints = mf.build_ints()
@@ -117,7 +128,8 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8):
         "value": round(per_iter, 4),
         "unit": "s/cycle",
         "vs_baseline": 0.0,
-        "extra": {"e_tot": float(e), "converged": bool(mf.converged),
+        "extra": {"e_tot": (float(e) if solve else None),
+                  "converged": bool(mf.converged),
                   "nao": int(mol.nao), "naux": int(mf._jk.aux.nao),
                   "basis": basis, "f64_s_per_cycle": per_iter64,
                   "build_and_solve_s": round(t_solve, 1)},
@@ -126,9 +138,10 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8):
 
 def main():
     stages = [
+        # (name, atoms, basis, budget-fraction gate, full SCF solve?)
         ("water_631g",
          "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
-         "6-31g", 0.0),
+         "6-31g", 0.0, True),
         ("phenol_631gs",
          "C 0.0000 1.3970 0.0000; C 1.2098 0.6985 0.0000; "
          "C 1.2098 -0.6985 0.0000; C 0.0000 -1.3970 0.0000; "
@@ -137,12 +150,14 @@ def main():
          "H 2.1500 1.2400 0.0000; H 2.1500 -1.2400 0.0000; "
          "H 0.0000 -2.4800 0.0000; H -2.1500 -1.2400 0.0000; "
          "H -2.1500 1.2400 0.0000",
-         "6-31g*", 0.45),
-        ("c16h34_631gs", alkane(16), "6-31g*", 0.55),
-        ("c24h50_631gs", alkane(24), "6-31g*", 0.65),
+         "6-31g*", 0.45, True),
+        # larger stages are timing-only (SAD start): the metric is
+        # s/cycle, correctness is anchored by the solved stages above
+        ("c16h34_631gs", alkane(16), "6-31g*", 0.50, False),
+        ("c24h50_631gs", alkane(24), "6-31g*", 0.65, False),
         # nao=580/naux~2500: f64 B (6.7 GB) + f32 cast still fit v5e HBM;
         # C40 (13 GB f64 B) does not
-        ("c32h66_631gs", alkane(32), "6-31g*", 0.75),
+        ("c32h66_631gs", alkane(32), "6-31g*", 0.75, False),
     ]
     result = None
 
@@ -150,7 +165,7 @@ def main():
         raise TimeoutError("bench budget exhausted mid-stage")
 
     signal.signal(signal.SIGALRM, _alarm)
-    for name, atoms, basis, frac_gate in stages:
+    for name, atoms, basis, frac_gate, solve in stages:
         if result is not None and (time.time() - T_START) > BUDGET_S * \
                 frac_gate:
             break
@@ -158,7 +173,7 @@ def main():
             # abort a stage that would blow past the budget, so the JSON
             # line for the best completed stage still prints
             signal.alarm(max(int(left()), 1))
-            r = run_config(name, atoms, basis, grid_level=2)
+            r = run_config(name, atoms, basis, grid_level=2, solve=solve)
             signal.alarm(0)
             r["extra"]["stage_s"] = round(time.time() - T_START, 1)
             if result is not None:
