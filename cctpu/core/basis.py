@@ -288,13 +288,20 @@ def build_basis(symbols: List[str], coords_bohr: np.ndarray,
                     if fb.lower() != basis_name.lower()]
             for fb_name, fb_table in fallback_tables:
                 if el in fb_table:
+                    tz = basis_name.lower().startswith("def2-tz")
                     if (el, fb_name) not in warned:
                         import sys
+                        extra = " (+2d1f TZ enrichment)" if tz else ""
                         print(f"WARNING: element {el} not in embedded "
-                              f"{basis_name}; using {fb_name} for {el}",
-                              file=sys.stderr)
+                              f"{basis_name}; using {fb_name}{extra} "
+                              f"for {el}", file=sys.stderr)
                         warned.add((el, fb_name))
-                    el_table = fb_table
+                    if tz:
+                        from cctpu.core.basis_data.def2 import enrich_to_tz
+                        el_table = dict(fb_table)
+                        el_table[el] = enrich_to_tz(el, fb_table[el])
+                    else:
+                        el_table = fb_table
                     break
             else:
                 raise ValueError(

@@ -114,3 +114,31 @@ O    F
        1.4280000   1.0000000
 END
 """
+
+
+def enrich_to_tz(el: str, shells):
+    """Upgrade a fallback (6-311G**/6-31G*-family) element block toward
+    def2-TZVP polarization quality: split the single polarization d into a
+    2d set and add an f function, with exponent ratios fitted to the
+    embedded def2-TZVP rows (d1 = 0.74 a_d, d2 = 0.24 a_d, f = 0.86 a_d
+    reproduce the official S set (0.479, 0.154 / 0.557) from the 6-31G*
+    a_d = 0.65 to ~1%). Used only for elements whose official def2-TZVP
+    table is not embedded (zero-egress build); the substitution is logged
+    by core/basis.py.
+
+    shells: list of (l, exps, coefs) numpy tuples; returns a new list.
+    """
+    import numpy as np
+
+    d_single = [(i, sh) for i, sh in enumerate(shells)
+                if sh[0] == 2 and len(sh[1]) == 1]
+    if not d_single:
+        return shells
+    i0, (l, exps, coefs) = d_single[-1]
+    a_d = float(exps[0])
+    out = [sh for i, sh in enumerate(shells) if i != i0]
+    one = np.array([1.0])
+    out.append((2, np.array([0.74 * a_d]), one.copy()))
+    out.append((2, np.array([0.24 * a_d]), one.copy()))
+    out.append((3, np.array([0.86 * a_d]), one.copy()))
+    return out

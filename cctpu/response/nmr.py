@@ -5,21 +5,23 @@ Replaces pyscf.prop.nmr.NMR for the reference NMR workflow
 
   sigma_ab(N) = sigma^dia_ab + sigma^para_ab
   sigma^dia = (1/2c^2) Tr[D * dia_ints(N)]
-  sigma^para = (2/c^3) sum_ia v^a_ia h01^b_ia(N)
+  sigma^para = (1/2c^2) Tr[Dresp[a] * h01[b](N)],
+  Dresp[a] = -2 (Cv v_a^T Co^T - Co v_a Cv^T),  (A-B) v_a = L_ov[a]
 
 with v the CPHF response to the external-field angular-momentum
 perturbation. For pure-imaginary (magnetic) perturbations only exact
 exchange couples (Coulomb and real-functional fxc vanish on antisymmetric
 densities), so the CPHF operator is exactly the TDDFT (A-B) matvec.
 
-Every constant and sign is pinned by tests/test_nmr.py: a one-electron
-complex finite-field diagonalization with the same operator matrices, and
-the H-atom Lamb value sigma = alpha^2/3 <1/r> = 17.75 ppm.
+Constants and signs are pinned by the complex finite-field SCF oracle in
+tests/test_giao_nmr.py (which exposed and fixed a factor-c error in the
+original (2/c^3) para contraction) and the H-atom Lamb value
+sigma = alpha^2/3 <1/r> = 17.75 ppm.
 
-Gauge: common origin at the molecular charge centroid. GIAO invariance is
-a planned upgrade; with the polarized bases the workflow defaults to
-(6-311G**), CGO shifts referenced to a same-level TMS-proxy reproduce the
-trends the reference workflow reports.
+Gauge: common origin (per-nucleus by default). This class is the fallback
+for cases the GIAO implementation (response/giao_nmr.py — the
+pyscf.prop.nmr parity path, used by the workflow) does not cover:
+meta-GGA and open shells.
 """
 
 from __future__ import annotations
@@ -93,17 +95,19 @@ class NMR:
                 Lao = np.array(angmom_integrals(basis, coords,
                                                 jnp.asarray(G)))
                 Lov = np.einsum("pi,xpq,qa->xia", Co, Lao, Cv)
-                v_cache[key] = self._cphf(Lov)
-            v = v_cache[key]
+                v = self._cphf(Lov)
+                # response density (real-antisym rep, per unit B_a):
+                # perturbation rep is -l => X = -v
+                v_cache[key] = np.stack([
+                    -2.0 * (Cv @ v[a].T @ Co.T - Co @ v[a] @ Cv.T)
+                    for a in range(3)])
+            Dresp = v_cache[key]
             dia = np.array(dia_integrals(basis, coords, jnp.asarray(R),
                                          jnp.asarray(G)))
             h01 = np.array(h01_integrals(basis, coords, jnp.asarray(R)))
-            h01ov = np.einsum("pi,xpq,qa->xia", Co, h01, Cv)
             s_d = (0.5 / C ** 2) * np.einsum("abpq,pq->ab", dia, Dtot)
-            s_p = (2.0 / C ** 3) * np.einsum("ax,bx->ab",
-                                             v.reshape(3, -1),
-                                             h01ov.reshape(3, -1))
-            sig[N] = s_d - s_p
+            s_p = (0.5 / C ** 2) * np.einsum("amn,bnm->ab", Dresp, h01)
+            sig[N] = s_d + s_p
         self.shielding = sig * 1e6              # ppm
         return self.shielding
 

@@ -92,6 +92,110 @@ def interaction_energy(smiles_a, smiles_b, distance, basis, method,
     return e_int + bsse_corr, e_int, bsse_corr
 
 
+def scan_batched(smiles_a, smiles_b, rs, basis, method,
+                 orientation="aligned", bsse=True, log=print,
+                 grid_level=2, n_cycles=40, mem_limit=2e9):
+    """The whole distance scan as sharded task batches: ONE batched SCF
+    per counterpoise system (dimer / ghost-A / ghost-B), all distances
+    vmapped and sharded over the mesh 'task' axis — the TPU answer to the
+    reference's serial per-distance loop
+    (templates/calculate_interaction.py:229-252; SURVEY §2.4).
+
+    Returns a list of CP-corrected E_int (Ha), or None when the config is
+    not batchable (MP2 / RSH / dispersion / open shell / in-core too big
+    for the mesh) — the caller falls back to the serial warm-start loop.
+    """
+    m = method.lower()
+    xc = None
+    if m not in ("hf",):
+        if m == "mp2" or m.endswith("-d") or m.endswith("-d2"):
+            return None
+        from cctpu.dft.xc import get_functional
+        try:
+            func = get_functional(m)
+        except Exception:
+            return None
+        if func.rsh is not None:
+            return None
+        xc = m
+
+    mol_a = smiles_to_molecule(smiles_a, basis=basis)
+    mol_b = smiles_to_molecule(smiles_b, basis=basis)
+    if mol_a.spin or mol_b.spin:
+        return None
+
+    # shared topology: coords per distance, one template per CP system
+    def dimer_at(r):
+        d = make_dimer(mol_a, mol_b, float(r), orientation)
+        return d
+
+    template = dimer_at(rs[0])
+    template._monomer_split = mol_a.natm
+    template._charges_ab = (mol_a.charge, mol_b.charge)
+    template._spins_ab = (mol_a.spin, mol_b.spin)
+    coords = np.stack([dimer_at(r).coords for r in rs])       # [T, natm, 3]
+
+    systems = [template.build()]
+    if bsse:
+        systems += [ghosted(template, "A").build(),
+                    ghosted(template, "B").build()]
+
+    import jax
+    from cctpu.parallel.mesh import make_mesh
+    from cctpu.parallel.task_batch import batched_rhf, batched_rks
+    from cctpu.workflows.common import make_scf
+
+    ndev = len(jax.devices())
+    nao = systems[0].nao
+    T = len(rs)
+    npad = (-T) % ndev
+    est = (T + npad) * (nao ** 4) * 8 / max(ndev, 1)
+    if est > mem_limit:
+        log(f"scan batch would need ~{est/1e9:.1f} GB/device in-core; "
+            "falling back to the serial warm-start loop")
+        return None
+
+    mesh = make_mesh((ndev,), ("task",)) if ndev > 1 else None
+    cbatch = np.concatenate([coords, np.repeat(coords[-1:], npad, 0)]) \
+        if npad else coords
+    log(f"batched scan: {T} distances x {len(systems)} CP systems, "
+        f"nao={nao}, mesh={'task:%d' % ndev if mesh else 'single-device'}")
+
+    energies = []
+    for sysmol in systems:
+        mf, _ = make_scf(sysmol, method, density_fit=False,
+                         grid_level=grid_level)
+        dm0 = np.asarray(mf.init_guess_dm())
+        if xc is None:
+            e, _, _, conv = batched_rhf(sysmol, cbatch, dm0,
+                                        n_cycles=n_cycles, mesh=mesh)
+        else:
+            e, _, conv = batched_rks(sysmol, cbatch, dm0, xc=xc,
+                                     n_cycles=n_cycles,
+                                     grid_level=grid_level, mesh=mesh)
+        e = np.asarray(e)[:T]
+        conv = np.asarray(conv)[:T]
+        # per-task isolation: re-solve stragglers serially (fallback
+        # ladder in run_scf) instead of poisoning the whole scan
+        for t in np.nonzero(~conv)[0]:
+            log(f"  scan point R={rs[t]:.2f} not converged in batch; "
+                "serial re-solve")
+            sys_t = Molecule(symbols=list(sysmol.symbols),
+                             coords=coords[t].copy(),
+                             charge=sysmol.charge, spin=sysmol.spin,
+                             basis=sysmol.basis)
+            _, e[t] = run_scf(sys_t, method, density_fit=False, log=log)
+        energies.append(e)
+
+    if bsse:
+        e_ab, e_adb, e_bdb = energies
+        # CP-corrected: E_AB - E_A(dimer basis) - E_B(dimer basis)
+        return list(e_ab - e_adb - e_bdb)
+    _, e_a = run_scf(mol_a, method, density_fit=False, log=log)
+    _, e_b = run_scf(mol_b, method, density_fit=False, log=log)
+    return list(energies[0] - e_a - e_b)
+
+
 def classify(e_kcal: float, has_polar: bool) -> str:
     """Reference analyze_interaction_type thresholds (:254-270)."""
     if e_kcal < -5.0:
@@ -146,16 +250,25 @@ def main(argv=None):
         rs = np.arange(args.scan_range[0], args.scan_range[1] + 1e-9,
                        args.scan_step)
         out.print(f"\n{'R (A)':>7} {'E_int CP (kcal/mol)':>20}")
-        es = []
-        warm = {}
-        for r in rs:
-            e_i, _, _ = interaction_energy(
-                args.smiles, args.smiles2, float(r), basis, args.method,
-                args.orientation, bsse=not args.no_bsse,
-                density_fit=args.density_fit, log=lambda *a: None,
-                warm=warm)
-            es.append(e_i * HARTREE2KCAL)
-            out.print(f"{r:7.2f} {es[-1]:20.3f}")
+        es_ha = scan_batched(args.smiles, args.smiles2, rs, basis,
+                             args.method, args.orientation,
+                             bsse=not args.no_bsse, log=out.print,
+                             grid_level=args.grid_level)
+        if es_ha is not None:
+            es = [e * HARTREE2KCAL for e in es_ha]
+            for r, ek_i in zip(rs, es):
+                out.print(f"{r:7.2f} {ek_i:20.3f}")
+        else:
+            es = []
+            warm = {}
+            for r in rs:
+                e_i, _, _ = interaction_energy(
+                    args.smiles, args.smiles2, float(r), basis,
+                    args.method, args.orientation, bsse=not args.no_bsse,
+                    density_fit=args.density_fit, log=lambda *a: None,
+                    warm=warm)
+                es.append(e_i * HARTREE2KCAL)
+                out.print(f"{r:7.2f} {es[-1]:20.3f}")
         try:
             import matplotlib
             matplotlib.use("Agg")

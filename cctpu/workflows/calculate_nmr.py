@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 from cctpu.geomopt.optimizer import optimize
-from cctpu.response.nmr import NMR
+from cctpu.response.giao_nmr import make_nmr
 from cctpu.workflows.common import (Timer, add_common_args, build_molecule,
                                     make_scf, open_reports)
 
@@ -57,20 +57,40 @@ def _tms_molecule(basis: str):
 _TMS_CACHE = {}
 
 
+def _tms_disk_cache():
+    import os
+    return os.path.expanduser("~/.cache/cctpu_tms_ref.json")
+
+
 def tms_reference(method, basis, grid_level=2, density_fit=None, log=None):
     """Computed TMS shieldings at the requested level (reference
     calculate_nmr.py:138-164); {'H': sigma, 'C': sigma} or None on
-    failure (callers then use EMPIRICAL_REF)."""
+    failure (callers then use EMPIRICAL_REF). The reference is a pure
+    (method, basis) constant, so it is memoized on disk — the 17-atom
+    GIAO computation runs once per level, not once per CLI process."""
+    import json
+    import os
     key = (method.lower(), basis.lower())
     if key in _TMS_CACHE:
         return _TMS_CACHE[key]
+    dkey = f"{key[0]}/{key[1]}"
+    try:
+        with open(_tms_disk_cache()) as f:
+            disk = json.load(f)
+        if dkey in disk:
+            _TMS_CACHE[key] = disk[dkey]
+            if log:
+                log(f"TMS reference loaded from cache ({dkey})")
+            return disk[dkey]
+    except Exception:
+        pass
     try:
         mol = _tms_molecule(basis)
         mf, _ = make_scf(mol, method, density_fit, grid_level=grid_level)
         mf.kernel()
         if not mf.converged:
             raise RuntimeError("TMS SCF not converged")
-        nmr = NMR(mf)
+        nmr = make_nmr(mf, log=log)
         nmr.kernel()
         iso = nmr.isotropic()
         ref = {"H": float(np.mean([iso[i] for i, s in
@@ -80,6 +100,18 @@ def tms_reference(method, basis, grid_level=2, density_fit=None, log=None):
                                    enumerate(mol.element_symbols)
                                    if s == "C"]))}
         _TMS_CACHE[key] = ref
+        try:
+            path = _tms_disk_cache()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            disk = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    disk = json.load(f)
+            disk[dkey] = ref
+            with open(path, "w") as f:
+                json.dump(disk, f, indent=1)
+        except Exception:
+            pass
         return ref
     except Exception as exc:
         if log:
@@ -162,7 +194,7 @@ def main(argv=None):
         mf = factory(mol)
         mf.kernel()
 
-    nmr = NMR(mf)
+    nmr = make_nmr(mf, log=out.print)
     nmr.kernel()
     iso = nmr.isotropic()
     aniso = nmr.anisotropy()
@@ -174,7 +206,7 @@ def main(argv=None):
     if ref is not None:
         out.print(f"\nTMS reference computed at {args.method}/{args.basis}: "
                   f"sigma(H) = {ref['H']:.2f}, sigma(C) = {ref['C']:.2f} ppm"
-                  " (common-gauge-origin, per-nucleus origins)")
+                  " (GIAO)")
     else:
         ref = EMPIRICAL_REF
         out.print("\nNOTE: shifts use the reference empirical standards "

@@ -39,7 +39,9 @@ def main(argv=None):
     rc = mod.main(argv[1:])
     from cctpu.workflows.common import report_phases
     report_phases()
-    return rc
+    # workflow mains return domain values (energies, shift arrays) for
+    # library callers; only a bool/int is a process return code
+    return rc if isinstance(rc, (bool, int)) else 0
 
 
 if __name__ == "__main__":

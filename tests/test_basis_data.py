@@ -52,3 +52,20 @@ def test_per_element_fallback_logged(capsys):
     mol = Molecule.from_atoms("S 0 0 0; H 0 1 1; H 0 -1 1",
                               basis="def2-tzvp")
     assert mol.nao > 0            # S fell back down the chain, H real
+
+
+def test_def2_tzvp_fallback_enriched_to_2d1f():
+    """Elements missing from the embedded def2-TZVP get the fallback basis
+    upgraded with split-d + f polarization (TZ-quality), not plain
+    6-31G**."""
+    from cctpu.core.basis import build_basis
+    import numpy as np
+
+    bs = build_basis(["S"], np.zeros((1, 3)), "def2-tzvp")
+    ls = [sh.l for sh in bs.shells]
+    assert ls.count(2) == 2          # split d set
+    assert ls.count(3) == 1          # f polarization
+    d_exps = sorted(float(sh.exps[0]) for sh in bs.shells if sh.l == 2)
+    # documented ratios from 6-31G* a_d(S)=0.65: ~(0.156, 0.481)
+    assert abs(d_exps[0] - 0.24 * 0.65) < 1e-6
+    assert abs(d_exps[1] - 0.74 * 0.65) < 1e-6

@@ -1,0 +1,299 @@
+"""GIAO NMR validation.
+
+1. Complex finite-field oracle: build the first-order GIAO-perturbed
+   integrals (S(B), h(B), eri(B) with the GIAO phase structure), solve the
+   *complex* SCF at finite B (numpy, CPU), and finite-difference
+   d2E/dB dm. This is an implementation-independent ground truth for the
+   paramagnetic (response) part of the shielding — it exercises the CPHF
+   with overlap terms, the 2e GIAO skeleton, and every sign/factor.
+2. Translation invariance of the full GIAO shielding (dia + para): moving
+   the whole molecule must not change sigma. This pins the diamagnetic
+   cross term (mh01) and the h1 construction.
+3. Atom limit: for a single atom the GIAO result equals CGO with gauge at
+   the nucleus (pinned by the Lamb test in test_pcm_nmr.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from cctpu.core.constants import LIGHT_SPEED_AU as C
+from cctpu.core.molecule import Molecule
+from cctpu.scf.hf import RHF
+from cctpu.ints.giao import (ao_centers, build_moment_eri_incore,
+                             moment_st_integrals, moment_v_integrals,
+                             nabla_integrals)
+from cctpu.ints.magnetic import angmom_integrals, h01_integrals
+from cctpu.ints.two_electron import build_eri_incore
+from cctpu.response.giao_nmr import GIAONMR, _EPS3, _gw
+
+HEH = "He 0 0 0; H 0 0 1.4632"
+
+
+def _giao_first_order(mol):
+    """All first-order GIAO matrices (real antisym reps) + base integrals."""
+    basis = mol.basis_set
+    coords = jnp.asarray(mol.coords)
+    Rc = ao_centers(basis, mol.coords)
+    mS, mT = moment_st_integrals(basis, coords)
+    mS, mT = np.array(mS), np.array(mT)
+    mV = np.array(moment_v_integrals(basis, coords,
+                                     jnp.asarray(mol.charges)))
+    l0 = np.array(angmom_integrals(basis, coords, jnp.zeros(3)))
+    nab = np.array(nabla_integrals(basis, coords))
+    S1 = _gw(Rc, mS)
+    l_ket = l0 - np.einsum("abc,nb,cmn->amn", _EPS3, Rc, nab,
+                           optimize=True)
+    h1 = -l_ket + _gw(Rc, mT + mV)
+    eri = np.array(build_eri_incore(basis, coords))
+    meri = build_moment_eri_incore(basis, coords)
+    # g1[a]_mnls = eps_abc [ (R_m - R_n)_b meri_c[mnls]
+    #                        + (R_l - R_s)_b meri_c[lsmn] ]
+    dR = Rc[:, None, :] - Rc[None, :, :]
+    g1 = (np.einsum("abc,mnb,cmnls->amnls", _EPS3, dR, meri, optimize=True)
+          + np.einsum("abc,lsb,clsmn->amnls", _EPS3, dR, meri,
+                      optimize=True))
+    return dict(Rc=Rc, S1=S1, h1=h1, eri=eri, g1=g1)
+
+
+def _complex_scf(S, h, eri, nocc, dm0=None, max_cycle=3000, tol=1e-12):
+    """Complex RHF fixed point: F C = S C e; returns (E_elec, D).
+
+    Convergence is tested on the DENSITY, not the energy: the energy is
+    variational, so it is blind (quadratic) to errors in the imaginary
+    (response) part of D — an energy-converged SCF can carry a 1%-wrong
+    D1, which poisons the FD cross-derivatives downstream.
+    """
+    n = S.shape[0]
+    D = dm0 if dm0 is not None else np.zeros((n, n), complex)
+    for it in range(max_cycle):
+        J = np.einsum("mnls,sl->mn", eri, D, optimize=True)
+        # F_x,pq = -1/4 [ sum (p nu|lm q) D_nu,lm + sum (mu q|p sg) D_sg,mu ]
+        Kx_a = np.einsum("pnlq,nl->pq", eri, D, optimize=True)
+        Kx_b = np.einsum("mqps,sm->pq", eri, D, optimize=True)
+        F = h + J - 0.25 * (Kx_a + Kx_b)
+        w, Cm = scipy.linalg.eigh(F, S)
+        Co = Cm[:, :nocc]
+        Dn = 2.0 * Co @ Co.conj().T
+        dmax = np.abs(Dn - D).max()
+        D = 0.25 * D + 0.75 * Dn
+        if dmax < tol and it > 1:
+            break
+    Jn = np.einsum("mnls,sl->mn", eri, D, optimize=True)
+    Ex = -0.25 * np.einsum("mnls,sm,nl->", eri, D, D, optimize=True)
+    E = (np.einsum("mn,nm->", h, D)
+         + 0.5 * np.einsum("mn,nm->", Jn, D) + Ex).real
+    return E, D
+
+
+def _fd_para(mol, mf, N, a, b, hb=2e-3, hm=2e-3):
+    """Oracle d2E/dB_a dm_b (paramagnetic/response part only)."""
+    fo = _giao_first_order(mol)
+    ints = mf.build_ints()
+    S0 = np.array(ints["S"])
+    h0 = np.array(ints["T"] + ints["V"])
+    nocc = mol.nelectron // 2
+    h01 = np.array(h01_integrals(mol.basis_set, jnp.asarray(mol.coords),
+                                 jnp.asarray(mol.coords[N])))
+
+    def E(sb, sm):
+        Bv = sb * hb
+        mv = sm * hm
+        S = S0 + 1j * (Bv / (2 * C)) * fo["S1"][a]
+        h = (h0 + 1j * (Bv / (2 * C)) * fo["h1"][a]
+             - 1j * (mv / C) * h01[b])
+        eri = fo["eri"] + 1j * (Bv / (2 * C)) * fo["g1"][a]
+        dm0 = np.array(mf.dm, dtype=complex)
+        e, _ = _complex_scf(S, h, eri, nocc, dm0=dm0)
+        return e
+
+    return (E(1, 1) - E(1, -1) - E(-1, 1) + E(-1, -1)) / (4 * hb * hm)
+
+
+@pytest.mark.slow
+def test_giao_para_vs_complex_fd_oracle():
+    # water, not HeH+: with p functions on O the paramagnetic response is
+    # nonzero (an s-only basis has L=0 and would make this test trivial)
+    W = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+    mol = Molecule.from_atoms(W, basis="sto-3g").build()
+    mf = RHF(mol, conv_tol=1e-13)
+    mf.kernel()
+    assert mf.converged
+
+    nmr = GIAONMR(mf)
+    sig = nmr.kernel() / 1e6          # back to a.u.
+    # recompute para-only part for comparison: run kernel internals
+    # (sigma = dia + cross + para; oracle gives para only)
+    # -> recompute dia+cross explicitly and subtract
+    from cctpu.ints.magnetic import dia_integrals
+    from cctpu.ints.giao import mh01_integrals
+    basis, coords = mol.basis_set, jnp.asarray(mol.coords)
+    Rc = ao_centers(basis, mol.coords)
+    D = np.array(mf.dm)
+    inv2c2 = 0.5 / C ** 2
+    for N in (0, 1):
+        dia0 = np.array(dia_integrals(basis, coords,
+                                      jnp.asarray(mol.coords[N]),
+                                      np.zeros(3)))
+        mh01 = np.array(mh01_integrals(basis, coords,
+                                       jnp.asarray(mol.coords[N])))
+        s_d = inv2c2 * np.einsum("abmn,mn->ab", dia0, D)
+        cross = inv2c2 * (
+            np.einsum("acd,mc,dbmn,mn->ab", _EPS3, Rc, mh01, D,
+                      optimize=True)
+            + np.einsum("acd,nc,dbnm,mn->ab", _EPS3, Rc, mh01, D,
+                        optimize=True))
+        para = sig[N] - s_d - cross
+        for (a, b) in [(0, 0), (2, 2), (0, 2)]:
+            ref = _fd_para(mol, mf, N, a, b)
+            assert abs(para[a, b] - ref) < 5e-8, \
+                f"N={N} a={a} b={b}: para={para[a,b]:.3e} fd={ref:.3e}"
+
+
+@pytest.mark.slow
+def test_giao_translation_invariance_hf():
+    mol = Molecule.from_atoms(HEH, basis="sto-3g", charge=1).build()
+    mf = RHF(mol, conv_tol=1e-13)
+    mf.kernel()
+    s0 = GIAONMR(mf).isotropic()
+
+    shift = np.array([1.7, -0.9, 2.3])
+    mol2 = Molecule(symbols=["He", "H"],
+                    coords=np.array(mol.coords) + shift[None, :],
+                    charge=1, basis="sto-3g").build()
+    mf2 = RHF(mol2, conv_tol=1e-13)
+    mf2.kernel(dm0=mf.dm)
+    s1 = GIAONMR(mf2).isotropic()
+    # 5e-11 ppm at tight SCF convergence; headroom for platform noise
+    assert np.abs(s0 - s1).max() < 1e-6          # ppm
+
+
+@pytest.mark.slow
+def test_cgo_para_vs_complex_fd_oracle():
+    """CGO class against the same oracle (this test caught a factor-c bug
+    in the original (2/c^3) paramagnetic contraction)."""
+    W = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+    mol = Molecule.from_atoms(W, basis="sto-3g").build()
+    mf = RHF(mol, conv_tol=1e-13)
+    mf.kernel()
+    basis, coords = mol.basis_set, jnp.asarray(mol.coords)
+    ints = mf.build_ints()
+    S0 = np.array(ints["S"])
+    h0 = np.array(ints["T"] + ints["V"])
+    eri = np.array(build_eri_incore(basis, coords)).astype(complex)
+    nocc = mol.nelectron // 2
+    N = 0
+    G = np.array([0.5, 0.3, -0.2])
+    l0 = np.array(angmom_integrals(basis, coords, jnp.asarray(G)))
+    h01 = np.array(h01_integrals(basis, coords, jnp.asarray(mol.coords[N])))
+
+    def E(a, b, sb, sm, hb=2e-3, hm=2e-3):
+        h = h0 - 1j * (sb * hb / (2 * C)) * l0[a] \
+            - 1j * (sm * hm / C) * h01[b]
+        e, _ = _complex_scf(S0, h, eri, nocc,
+                            dm0=np.array(mf.dm, dtype=complex))
+        return e
+
+    from cctpu.response.nmr import NMR
+    from cctpu.ints.magnetic import dia_integrals
+    nmr = NMR(mf, gauge_origin=G)
+    sig = nmr.kernel()
+    dia = np.array(dia_integrals(basis, coords, jnp.asarray(mol.coords[N]),
+                                 jnp.asarray(G)))
+    D = np.array(mf.dm)
+    s_d = (0.5 / C ** 2) * np.einsum("abpq,pq->ab", dia, D)
+    s_p = sig[N] / 1e6 - s_d
+    for (a, b) in [(0, 0), (1, 1), (2, 2), (0, 1)]:
+        fd = (E(a, b, 1, 1) - E(a, b, 1, -1) - E(a, b, -1, 1)
+              + E(a, b, -1, -1)) / (4 * 2e-3 * 2e-3)
+        assert abs(s_p[a, b] - fd) < 5e-8, \
+            f"a={a} b={b}: class={s_p[a,b]:.3e} oracle={fd:.3e}"
+
+
+@pytest.mark.slow
+def test_giao_translation_invariance_b3lyp():
+    """Pins the XC GIAO skeleton term (grid moment-weighted vxc): a wrong
+    sign/factor there breaks translation invariance immediately."""
+    from cctpu.dft.rks import RKS
+    W = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+    mol = Molecule.from_atoms(W, basis="sto-3g").build()
+    mf = RKS(mol, xc="b3lyp", conv_tol=1e-12)
+    mf.kernel()
+    s0 = GIAONMR(mf).isotropic()
+
+    shift = np.array([1.1, -2.0, 0.7])
+    mol2 = Molecule(symbols=list(mol.element_symbols),
+                    coords=np.array(mol.coords) + shift[None, :],
+                    basis="sto-3g").build()
+    mf2 = RKS(mol2, xc="b3lyp", conv_tol=1e-12)
+    mf2.kernel(dm0=mf.dm)
+    s1 = GIAONMR(mf2).isotropic()
+    # grid is molecule-fixed (atom-centered), so only SCF/quadrature noise
+    assert np.abs(s0 - s1).max() < 1e-4          # ppm
+
+
+@pytest.mark.slow
+def test_giao_df_skeleton_matches_incore():
+    """DF moment-3c2e 2e-skeleton path vs the exact in-core moment-ERI
+    path: difference bounded by the DF fitting error."""
+    W = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+    mol = Molecule.from_atoms(W, basis="6-31g").build()
+    mf_i = RHF(mol, conv_tol=1e-12)
+    mf_i.kernel()
+    s_inc = GIAONMR(mf_i).isotropic()
+    mf_d = RHF(mol, density_fit=True, conv_tol=1e-12)
+    mf_d.kernel()
+    s_df = GIAONMR(mf_d).isotropic()
+    assert np.abs(s_inc - s_df).max() < 0.05     # ppm
+
+
+def test_giao_atom_limit_matches_cgo():
+    """Single atom: GIAO == CGO with gauge at the nucleus."""
+    mol = Molecule.from_atoms("He 0 0 0", basis="6-31g").build()
+    mf = RHF(mol)
+    mf.kernel()
+    from cctpu.response.nmr import NMR
+    s_giao = GIAONMR(mf).isotropic()
+    s_cgo = NMR(mf, gauge_origin="nucleus").isotropic()
+    assert abs(s_giao[0] - s_cgo[0]) < 1e-6
+
+
+def test_range_skeleton_omega_limit():
+    """Plumbing pin for the RSH path: erf(omega r)/r -> 1/r as omega ->
+    inf, so the attenuated exchange skeleton at huge omega must equal the
+    full-range one (in-core moment-ERI branch)."""
+    mol = Molecule.from_atoms("O 0 0 0.1173; H 0 0.7572 -0.4692; "
+                              "H 0 -0.7572 -0.4692", basis="sto-3g").build()
+    mf = RHF(mol)
+    mf.kernel()
+    nmr = GIAONMR(mf)
+    D = np.array(mf.dm)
+    Rc = ao_centers(mol.basis_set, mol.coords)
+    mJ0, Kg0 = nmr._range_skeleton(D, Rc, None, None, True, True)
+    # finite-omega truncation error ~ alpha/omega^2 (alpha up to ~1e3 for
+    # O-1s pairs), so omega=1e6 puts it below the 1e-7 gate
+    mJ1, Kg1 = nmr._range_skeleton(D, Rc, None, 1e6, True, True)
+    assert np.abs(Kg1 - Kg0).max() < 1e-7
+    assert np.abs(mJ1 - mJ0).max() < 1e-7
+
+
+@pytest.mark.slow
+def test_giao_translation_invariance_camb3lyp():
+    """RSH GIAO: the LR exchange skeleton (attenuated moment ERIs +
+    attenuated DF metric) must preserve translation invariance."""
+    from cctpu.dft.rks import RKS
+    W = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+    mol = Molecule.from_atoms(W, basis="sto-3g").build()
+    mf = RKS(mol, xc="cam-b3lyp", conv_tol=1e-12)
+    mf.kernel()
+    s0 = GIAONMR(mf).isotropic()
+
+    shift = np.array([0.8, 1.6, -1.1])
+    mol2 = Molecule(symbols=list(mol.element_symbols),
+                    coords=np.array(mol.coords) + shift[None, :],
+                    basis="sto-3g").build()
+    mf2 = RKS(mol2, xc="cam-b3lyp", conv_tol=1e-12)
+    mf2.kernel(dm0=mf.dm)
+    s1 = GIAONMR(mf2).isotropic()
+    assert np.abs(s0 - s1).max() < 1e-4          # ppm

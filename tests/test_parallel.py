@@ -100,3 +100,29 @@ def test_sharded_dfjk_matches_replicated():
     J1, K1 = jk(jnp.asarray(dm))
     np.testing.assert_allclose(np.asarray(J1), np.asarray(J0), atol=1e-10)
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), atol=1e-10)
+
+
+def test_interaction_scan_batched_matches_serial():
+    """The task-batched distance scan (3 CP systems x T distances, sharded
+    over the mesh) reproduces the serial counterpoise energies — the
+    reference's serial scan loop (calculate_interaction.py:229-252) as ONE
+    batched workload."""
+    from cctpu.workflows.calculate_interaction import (interaction_energy,
+                                                       scan_batched)
+
+    rs = [2.5, 3.5]
+    es = scan_batched("O", "O", rs, "sto-3g", "hf", bsse=True,
+                      log=lambda *a: None)
+    assert es is not None
+    warm = {}
+    for r, e_b in zip(rs, es):
+        e_s, _, _ = interaction_energy("O", "O", r, "sto-3g", "hf",
+                                       bsse=True, density_fit=False,
+                                       log=lambda *a: None, warm=warm)
+        assert abs(e_b - e_s) < 5e-7, (r, e_b, e_s)
+
+
+def test_interaction_scan_batched_declines_mp2():
+    from cctpu.workflows.calculate_interaction import scan_batched
+    assert scan_batched("O", "O", [3.0], "sto-3g", "mp2",
+                        log=lambda *a: None) is None
