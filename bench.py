@@ -11,10 +11,12 @@ f64 (XLA einsum) timed alongside for comparison. ``vs_baseline`` stays 0.0
 """
 
 import json
+import os
 import signal
 import time
 
-BUDGET_S = 2100.0   # leave headroom under the driver's timeout
+# leave headroom under the driver's timeout; overridable for local runs
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
 T_START = time.time()
 
 
@@ -72,8 +74,10 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
              conv_tol=1e-7, precision="mixed")
     mf.grid_level = grid_level
     mf._setup_xc()
+    _log(f"{name}: grids ready (+{time.time() - t_build0:.0f}s)")
+    t_b = time.time()
     mf.get_jk_builder()
-    _log(f"{name}: naux={mf._jk.aux.nao} B built; "
+    _log(f"{name}: naux={mf._jk.aux.nao} B built (+{time.time() - t_b:.0f}s); "
          f"{'SCF solve' if solve else 'timing-only (SAD start)'}")
     if solve:
         e = mf.kernel()
@@ -137,11 +141,14 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
 
 
 def main():
+    # Stage order is compile-cache-aware: on a cold host every distinct
+    # integral/step kernel is a serialized remote compile (~15-20 s each,
+    # ~1200 s for a full 6-31G* class family — measured). Phenol runs
+    # FIRST and compiles the whole H/C/O 6-31G* family; the alkane stages
+    # reuse those kernels (same (l, nprim-padded) classes), paying only
+    # their own (nao, naux)-shaped SCF-step compiles + execution.
     stages = [
         # (name, atoms, basis, budget-fraction gate, full SCF solve?)
-        ("water_631g",
-         "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
-         "6-31g", 0.0, True),
         ("phenol_631gs",
          "C 0.0000 1.3970 0.0000; C 1.2098 0.6985 0.0000; "
          "C 1.2098 -0.6985 0.0000; C 0.0000 -1.3970 0.0000; "
@@ -150,14 +157,14 @@ def main():
          "H 2.1500 1.2400 0.0000; H 2.1500 -1.2400 0.0000; "
          "H 0.0000 -2.4800 0.0000; H -2.1500 -1.2400 0.0000; "
          "H -2.1500 1.2400 0.0000",
-         "6-31g*", 0.45, True),
+         "6-31g*", 0.0, True),
         # larger stages are timing-only (SAD start): the metric is
-        # s/cycle, correctness is anchored by the solved stages above
-        ("c16h34_631gs", alkane(16), "6-31g*", 0.50, False),
-        ("c24h50_631gs", alkane(24), "6-31g*", 0.65, False),
+        # s/cycle, correctness is anchored by the solved stage above
+        ("c16h34_631gs", alkane(16), "6-31g*", 0.75, False),
+        ("c24h50_631gs", alkane(24), "6-31g*", 0.84, False),
         # nao=580/naux~2500: f64 B (6.7 GB) + f32 cast still fit v5e HBM;
         # C40 (13 GB f64 B) does not
-        ("c32h66_631gs", alkane(32), "6-31g*", 0.75, False),
+        ("c32h66_631gs", alkane(32), "6-31g*", 0.92, False),
     ]
     result = None
 

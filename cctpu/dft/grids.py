@@ -134,20 +134,41 @@ class Grids:
 
     def _becke_weights(self, pts, coords):
         natm = self.mol.natm
-        # distances point-to-atom [npts, natm]
-        d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :], axis=-1)
         # add the identity inside the sqrt so the zero diagonal has a finite
         # gradient (norm of a zero vector is NaN under AD)
         dR = coords[:, None, :] - coords[None, :, :]
         R = jnp.sqrt(jnp.sum(dR * dR, axis=-1) + jnp.eye(natm))
-        mu = (d[:, :, None] - d[:, None, :]) / R[None, :, :]   # [npts,i,j]
-        nu = mu + jnp.asarray(self._a_adjust)[None] * (1 - mu ** 2)
-        f = nu
-        for _ in range(3):
-            f = 1.5 * f - 0.5 * f ** 3
-        s = 0.5 * (1 - f)
-        s = jnp.where(jnp.eye(natm, dtype=bool)[None], 1.0, s)
-        P = jnp.prod(s, axis=2)                                # [npts, natm]
-        Psum = jnp.sum(P, axis=1)
-        own = P[jnp.arange(self.npts), self.point_atom]
-        return own / Psum
+        a_adj = jnp.asarray(self._a_adjust)
+        eye = jnp.eye(natm, dtype=bool)
+
+        def cell_weights(p, own_idx):
+            # distances point-to-atom [chunk, natm]
+            d = jnp.linalg.norm(p[:, None, :] - coords[None, :, :], axis=-1)
+            mu = (d[:, :, None] - d[:, None, :]) / R[None, :, :]
+            nu = mu + a_adj[None] * (1 - mu ** 2)
+            f = nu
+            for _ in range(3):
+                f = 1.5 * f - 0.5 * f ** 3
+            s = 0.5 * (1 - f)
+            s = jnp.where(eye[None], 1.0, s)
+            P = jnp.prod(s, axis=2)                     # [chunk, natm]
+            Psum = jnp.sum(P, axis=1)
+            own = jnp.take_along_axis(P, own_idx[:, None], axis=1)[:, 0]
+            return own / Psum
+
+        npts = self.npts
+        # the one-shot mu tensor is [npts, natm, natm] — 16 GB at 50 atoms
+        # x 1.6M points (HBM overflow, first seen at C16H34/6-31G*).
+        # Chunk over points with lax.map: peak is [chunk, natm, natm].
+        chunk = max(256, int(2e7) // (natm * natm))
+        chunk = 1 << (chunk.bit_length() - 1)
+        if npts <= chunk:
+            return cell_weights(pts, jnp.asarray(self.point_atom))
+        import jax
+        npad = (-npts) % chunk
+        pts_p = jnp.pad(pts, ((0, npad), (0, 0)))
+        own_p = jnp.pad(jnp.asarray(self.point_atom), (0, npad))
+        wB = jax.lax.map(lambda t: cell_weights(*t),
+                         (pts_p.reshape(-1, chunk, 3),
+                          own_p.reshape(-1, chunk)))
+        return wB.reshape(-1)[:npts]

@@ -68,6 +68,20 @@ class _XCMixin:
                 self._ao_chunks32 = jnp.stack(
                     [ev(self._pts_chunks32[k]) for k in range(nchunk)])
 
+    def _prepare_xc_f64(self):
+        """Per-geometry f64 AO-value cache (mirror of _prepare_xc_f32):
+        without it every f64 polish cycle re-evaluates the whole grid
+        basis in emulated f64 — measured 2.2 s/cycle at phenol/6-31G*
+        where the cached-AO f32 cycle is 0.02 s."""
+        if self.func.xctype != "HF" and not hasattr(self, "_ao_chunks64"):
+            nchunk, chunk = self._w_chunks.shape
+            est_bytes = nchunk * 4 * chunk * self.mol.nao * 8
+            if est_bytes <= 3e9:        # cache gate: HBM headroom
+                ev = jax.jit(lambda p: eval_ao(
+                    self.mol.basis_set, self.coords, p, deriv=1))
+                self._ao_chunks64 = jnp.stack(
+                    [ev(self._pts_chunks[k]) for k in range(nchunk)])
+
     _xc_override = None   # bound pytree of jit arguments (SCFBase._bind_consts)
 
     def _xc_consts(self, dtype):
@@ -83,6 +97,9 @@ class _XCMixin:
                 return {"ao": (self._ao_chunks32, self._w_chunks32)}
             return {"pts": (self._coords32, self._pts_chunks32,
                             self._w_chunks32)}
+        self._prepare_xc_f64()
+        if hasattr(self, "_ao_chunks64"):
+            return {"ao": (self._ao_chunks64, self._w_chunks)}
         return {"pts": (self.coords, self._pts_chunks, self._w_chunks)}
 
     def _exc_total(self, dm):
@@ -103,6 +120,8 @@ class _XCMixin:
                                       self._w_chunks.astype(jnp.float32))
             return self._exc_with(dm, self._coords32, self._pts_chunks32,
                                   self._w_chunks32)
+        if hasattr(self, "_ao_chunks64"):
+            return self._exc_cached(dm, self._ao_chunks64, self._w_chunks)
         return self._exc_with(dm, self.coords, self._pts_chunks,
                               self._w_chunks)
 

@@ -6,8 +6,15 @@ Jit-friendly, branchless evaluation over three regimes blended with
 ``jnp.where`` (all paths evaluated; each is made NaN-safe):
 
  - small T:  Taylor series  F_m(T) = sum_k (-T)^k / (k! (2m+2k+1))
- - mid T:    F_mmax from the regularized lower incomplete gamma
-             F_m(T) = Gamma(m+1/2) P(m+1/2, T) / (2 T^{m+1/2})
+ - mid T:    tabulated Taylor expansion around grid nodes T_i = i*h:
+             F_m(T) = sum_k F_{m+k}(T_i) (-(T-T_i))^k / k!   (8 terms,
+             h = 0.05 -> |T-T_i| <= 0.025, error < 1e-16). The table is
+             built once on host with scipy's incomplete gamma. This
+             replaces jax.scipy.special.gammainc, whose XLA igamma
+             lowering (internal while-loop series) dominated the whole
+             integral engine on TPU: the 3c2e build at C16H34 measured
+             ~36 us per s-quartet, ~1000x off speed-of-light, all in
+             emulated-f64 igamma.
  - large T:  asymptotic      F_m(T) = (2m-1)!! / 2^{m+1} * sqrt(pi / T^{2m+1})
 
 then a single *downward* recursion (stable for all T)
@@ -19,11 +26,33 @@ McMurchie-Davidson R-tensor needs the full ladder.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammainc
+
+
+_TAB_H = 0.05          # node spacing; Taylor radius h/2
+_TAB_K = 7             # Taylor order (terms k = 0..7)
+
+
+@lru_cache(maxsize=None)
+def _boys_table(mtop: int, h: float = _TAB_H, tmax: float = 130.0):
+    """Host-built table F_m(T_i) for m = 0..mtop, T_i = 0, h, 2h, ... tmax.
+
+    Built with scipy's regularized incomplete gamma (exact to ~1e-15);
+    returns a numpy array [mtop+1, ntab]."""
+    import numpy as np
+    from scipy.special import gammainc as _ginc
+
+    T = np.arange(0.0, tmax + 2 * h, h)
+    out = np.empty((mtop + 1, len(T)))
+    Tm = np.where(T > 0, T, 1.0)
+    for m in range(mtop + 1):
+        a = m + 0.5
+        out[m] = math.gamma(a) * _ginc(a, Tm) / (2.0 * Tm ** a)
+        out[m, T == 0.0] = 1.0 / (2 * m + 1)
+    return out
 
 
 _T_SMALL = 1e-1
@@ -65,8 +94,15 @@ def boys(T: jnp.ndarray, mmax: int) -> jnp.ndarray:
         term = term * (-T_ser) / (k + 1)
     f_series = acc
 
-    # Incomplete-gamma branch.
-    f_gamma = math.gamma(a) * gammainc(a, T_gam) / (2.0 * T_gam ** a)
+    # Mid branch: tabulated Taylor expansion, F_m(T) = sum_k
+    # F_{m+k}(T_i) (-(T-T_i))^k / k!, Horner form from the top order.
+    tab = jnp.asarray(_boys_table(m + _TAB_K))
+    idx = jnp.clip(jnp.round(T_gam / _TAB_H).astype(jnp.int32), 0,
+                   tab.shape[1] - 1)
+    dT = T_gam - idx.astype(T_gam.dtype) * _TAB_H
+    f_gamma = tab[m + _TAB_K][idx]
+    for k in range(_TAB_K - 1, -1, -1):
+        f_gamma = tab[m + k][idx] - f_gamma * dT / (k + 1)
 
     # Asymptotic branch.
     f_asym = (_double_factorial(2 * m - 1) / (2.0 ** (m + 1))

@@ -21,9 +21,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from cctpu.core.basis import (BasisSet, Shell, normalize_contraction, nsph)
 from cctpu.ints.two_electron import (PairClass, _class_chunk,
-                                     _quartet_vmapped, pair_classes)
+                                     _quartet_vmapped, eri_quartet_kernel,
+                                     pair_classes)
+
+
+def _pow2_rows(a: np.ndarray, floor: int = 32768) -> np.ndarray:
+    """Pad axis 0 to max(floor, next power of two), repeating row 0.
+
+    The gather kernels specialize on table SHAPES; a per-molecule shape
+    meant a full recompile of the class family per molecule (~45 s per
+    kernel on the remote TPU compiler). A fixed floor puts every system
+    up to ~C24-alkane size in ONE bucket per class (the padding is a few
+    MB of device memory; gathers only ever touch real rows)."""
+    a = np.asarray(a)
+    n = a.shape[0]
+    m = max(floor, 1 << max(0, n - 1).bit_length())
+    if m == n:
+        return a
+    return np.concatenate([a, np.repeat(a[:1], m - n, axis=0)])
+
+
+@lru_cache(maxsize=None)
+def _3c2e_chunk_fn(ls, omega):
+    """Per-class 3c2e chunk kernel with IN-JIT gather: the class's full
+    (exps, coefs, centers) tables are device-resident arguments and each
+    chunk dispatch ships only two small index vectors. On the
+    axon-tunneled TPU the old path's 12 host->device transfers per chunk
+    made the eager B build latency-bound (~6.5k round trips at
+    C16H34/6-31G*)."""
+    def fn(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz, Be, Bc, Bxyz, i1, i2):
+        def one(j1, j2):
+            return eri_quartet_kernel(
+                ls, Pe[j1], Pc[j1], Pxyz[j1], de, dc, Pxyz[j1],
+                Ae[j2], Ac[j2], Axyz[j2], Be[j2], Bc[j2], Bxyz[j2],
+                omega=omega)
+        return jax.vmap(one)(i1, i2)
+    return jax.jit(fn)
 
 
 def autoaux(basis: BasisSet, beta: float = 1.8, extra_l: int = 2,
@@ -181,6 +218,42 @@ def build_2c2e(aux: BasisSet, coords, omega: Optional[float] = None):
     return out[:naux, :naux]
 
 
+def _aux_schwarz_max(aux: BasisSet, coords) -> float:
+    """max_P sqrt((P|P)) over the auxiliary set (screening bound)."""
+    coords = jnp.asarray(coords)
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    q_aux_max = 1e-30
+    for lP in sorted(aux.groups):
+        gP = aux.groups[lP]
+        ls = (lP, 0, lP, 0)
+        vkern = _quartet_vmapped(ls, None)
+        n = len(gP.shell_idx)
+        for s in range(0, n, 256):
+            # pad the tail chunk to a fixed 256 (a fresh slice length
+            # would be a fresh remote compile)
+            sl = np.arange(s, min(s + 256, n))
+            nreal_q = len(sl)
+            if nreal_q < 256:
+                sl = np.concatenate(
+                    [sl, np.zeros(256 - nreal_q, np.int64)])
+            blk = np.asarray(vkern(
+                jnp.asarray(gP.exps[sl]), jnp.asarray(gP.coefs[sl]),
+                coords[gP.atom_idx[sl]],
+                de[None, :].repeat(len(sl), 0),
+                dc[None, :].repeat(len(sl), 0),
+                coords[gP.atom_idx[sl]],
+                jnp.asarray(gP.exps[sl]), jnp.asarray(gP.coefs[sl]),
+                coords[gP.atom_idx[sl]],
+                de[None, :].repeat(len(sl), 0),
+                dc[None, :].repeat(len(sl), 0),
+                coords[gP.atom_idx[sl]],
+            ))[:, :, 0, :, 0]                 # [n, sP, sP]
+            diag = np.abs(np.einsum("qaa->qa", blk))
+            q_aux_max = max(q_aux_max, float(np.sqrt(diag.max())))
+    return q_aux_max
+
+
 def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
                      omega: Optional[float] = None,
                      screen_tol: float = 1e-12) -> np.ndarray:
@@ -200,31 +273,7 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
     dc = jnp.asarray(_DUMMY_C)
     pcs = pair_classes(basis)
     qs = schwarz_q(pcs, coords) if screen_tol > 0 else None
-    # aux Schwarz diagonal: Q_P = sqrt((P|P)), exact via the same kernel
-    q_aux_max = 1.0
-    if screen_tol > 0:
-        q_aux_max = 1e-30
-        for lP in sorted(aux.groups):
-            gP = aux.groups[lP]
-            ls = (lP, 0, lP, 0)
-            vkern = _quartet_vmapped(ls, None)
-            n = len(gP.shell_idx)
-            for s in range(0, n, 256):
-                sl = np.arange(s, min(s + 256, n))
-                blk = np.asarray(vkern(
-                    jnp.asarray(gP.exps[sl]), jnp.asarray(gP.coefs[sl]),
-                    coords[gP.atom_idx[sl]],
-                    de[None, :].repeat(len(sl), 0),
-                    dc[None, :].repeat(len(sl), 0),
-                    coords[gP.atom_idx[sl]],
-                    jnp.asarray(gP.exps[sl]), jnp.asarray(gP.coefs[sl]),
-                    coords[gP.atom_idx[sl]],
-                    de[None, :].repeat(len(sl), 0),
-                    dc[None, :].repeat(len(sl), 0),
-                    coords[gP.atom_idx[sl]],
-                ))[:, :, 0, :, 0]                 # [n, sP, sP]
-                diag = np.abs(np.einsum("qaa->qa", blk))
-                q_aux_max = max(q_aux_max, float(np.sqrt(diag.max())))
+    q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
     # Two-phase assembly: dispatch every chunk's kernel WITHOUT forcing the
     # result (JAX dispatch is async), materialize + scatter in waves. On the
     # axon-tunneled TPU each forced result is a full round trip; serialized
@@ -240,6 +289,14 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
         sP = nsph(lP)
+        # class tables -> device once (in-jit gather; see _3c2e_chunk_fn).
+        # Row counts are padded to powers of two: the jitted kernel
+        # specializes on table SHAPES, and without bucketing every new
+        # molecule recompiled the whole class family (~45 s per kernel
+        # on the remote TPU compiler).
+        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
+        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
+        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for ipc, pc in enumerate(pcs):
             pair_sel = np.arange(pc.n, dtype=np.int64)
             if qs is not None:
@@ -247,7 +304,13 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
                 if len(pair_sel) == 0:
                     continue
             ls = (lP, 0, pc.la, pc.lb)
-            vkern = _quartet_vmapped(ls, omega)
+            ckern = _3c2e_chunk_fn(ls, omega)
+            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
+            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
+            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
+            Be = jnp.asarray(_pow2_rows(pc.exps_b))
+            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
+            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
@@ -259,20 +322,14 @@ def build_3c2e_eager(basis: BasisSet, aux: BasisSet, coords,
             q2 = np.concatenate([q2, np.zeros(npad, np.int64)])
             padm = np.concatenate([np.zeros(nreal, bool),
                                    np.ones(npad, bool)])
+            q1_dev = jnp.asarray(q1)
+            q2_dev = jnp.asarray(q2)
             sa, sb = nsph(pc.la), nsph(pc.lb)
             for s in range(0, len(q1), chunk):
                 s1, s2, pm = q1[s:s+chunk], q2[s:s+chunk], padm[s:s+chunk]
-                blocks_dev = vkern(
-                    jnp.asarray(gP.exps[s1]), jnp.asarray(gP.coefs[s1]),
-                    coords[gP.atom_idx[s1]],
-                    de[None, :].repeat(len(s1), 0),
-                    dc[None, :].repeat(len(s1), 0),
-                    coords[gP.atom_idx[s1]],
-                    jnp.asarray(pc.exps_a[s2]), jnp.asarray(pc.coefs_a[s2]),
-                    coords[pc.atom_a[s2]],
-                    jnp.asarray(pc.exps_b[s2]), jnp.asarray(pc.coefs_b[s2]),
-                    coords[pc.atom_b[s2]],
-                )
+                blocks_dev = ckern(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz,
+                                   Be, Bc, Bxyz, q1_dev[s:s+chunk],
+                                   q2_dev[s:s+chunk])
                 P_idx = np.where(pm[:, None], naux,
                                  gP.ao_start[s1][:, None] + np.arange(sP))
                 A_idx = np.where(pm[:, None], nao,
@@ -541,13 +598,17 @@ class DFJK(_BContractions):
         # TPU compile helper OOM), and the O(naux*nao^2) scatter happens in
         # host numpy. The differentiable traced builders below remain for
         # the gradient path.
-        X = build_3c2e_eager(basis, self.aux, c)
         M = build_2c2e_eager(self.aux, c)
         w, V = np.linalg.eigh(M)
         keep = w > 1e-12 * w.max()
         inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
-        naux, nao = X.shape[0], X.shape[1]
-        B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
+        Wm = (V * inv_sqrt[None, :]).T
+        naux, nao = self.aux.nao, basis.nao
+        # Device-resident assembly + whitening when 2 copies (X and B) fit
+        # HBM: the 3c2e tensor never crosses the tunnel. Host fallback for
+        # larger systems.
+        X = build_3c2e_eager(basis, self.aux, c)
+        B = Wm @ X.reshape(naux, nao * nao)
         self.B = jnp.asarray(B.reshape(naux, nao, nao))
         self._mol = mol
         self._coords = c

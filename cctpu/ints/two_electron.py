@@ -462,15 +462,22 @@ def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
     return out
 
 
-def _class_chunk(ls, npA, npB, npC, npD, budget: int = 4_000_000) -> int:
-    """Fixed per-class chunk size bounding the dominant intermediate
-    (Rbig: Kab*Kcd*T1*T2 doubles per quartet)."""
+def _class_chunk(ls, npA, npB, npC, npD, budget: int = 32_000_000) -> int:
+    """Fixed per-class chunk size bounding the dominant intermediate.
+
+    The true per-quartet peak is the gathered Hermite outer product
+    Rbig [Kab, Kcd, T1*T2] with Kab = npA*npB, Kcd = npC*npD (XLA's
+    scheduler copies can multiply this by a small constant — seen as a
+    19 GB alloc at chunk 8192 on the (0,2,0,2) Schwarz class when the old
+    formula used max(T1,T2)). Budget 32M doubles with an 8192 cap: each
+    chunk is one remote dispatch on the axon-tunneled TPU (~50-100 ms
+    latency), so bigger chunks directly cut the latency-bound eager-build
+    wall time (the 3c2e build at C16H34/6-31G* was ~6.5k dispatches)."""
     T1 = (ls[0] + ls[1] + 1) ** 3
     T2 = (ls[2] + ls[3] + 1) ** 3
-    cost = max(npA * npB * npC * npD * max(T1, T2),
-               npA * npB * npC * npD * 16,
-               (T1 * T2))
-    c = max(16, min(2048, budget // max(cost, 1)))
+    cost = max(npA * npB * npC * npD * T1 * T2,
+               npA * npB * npC * npD * 16)
+    c = max(16, min(8192, budget // max(cost, 1)))
     # round to power of two for shape stability
     return 1 << (c.bit_length() - 1)
 

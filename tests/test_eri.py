@@ -47,3 +47,4 @@ def test_cholesky_df_accuracy_contract():
     mf = RHF(mol, density_fit="cd")
     e_cd = mf.kernel()
     assert abs(e_cd - e_ref) < 1e-8, abs(e_cd - e_ref)
+
