@@ -15,8 +15,9 @@ import os
 import signal
 import time
 
-# leave headroom under the driver's timeout; overridable for local runs
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+# leave headroom under the driver's kill window (~1800 s observed in round
+# 1: rc=124 at BUDGET_S=2100 lost the whole round's number); overridable
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1450"))
 T_START = time.time()
 
 
@@ -188,6 +189,11 @@ def main():
                     result["metric"]: result["value"],
                     "f64": result["extra"]["f64_s_per_cycle"]}
             result = r
+            # emit-and-keep-going: the driver parses the LAST JSON line on
+            # stdout, so a kill mid-next-stage still leaves this stage's
+            # number on record (round-1 postmortem: one rc=124 at the very
+            # end erased all evidence)
+            print(json.dumps(result), flush=True)
         except BaseException as exc:
             signal.alarm(0)
             if result is None:
@@ -198,7 +204,7 @@ def main():
                 result["extra"]["next_stage_error"] = str(exc)[:120]
             break
 
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
