@@ -15,6 +15,7 @@ errors on organic molecules (validated in tests against in-core ERIs).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -111,6 +112,276 @@ def autoaux(basis: BasisSet, beta: float = 1.8, extra_l: int = 2,
 
 _DUMMY_E = np.array([0.0])
 _DUMMY_C = np.array([1.0])
+
+
+def _pow2(n: int, floor: int = 1) -> int:
+    return max(floor, 1 << max(0, int(n) - 1).bit_length())
+
+
+# Quartets per super-batch dispatch. Every kernel/scatter jit below sees
+# index arrays of EXACTLY this many quartets (reshaped to [SB, chunk] for
+# the lax.map), so the expensive remote compiles are keyed only on the
+# class — one compile EVER per (ls, chunk, dtype), reused across molecules
+# and rounds through the persistent cache. Small classes pay at most one
+# padded dispatch of wasted compute.
+_NBATCH = 65536
+_NBATCH_SMALL = 8192
+
+
+@lru_cache(maxsize=None)
+def _class_batch_fn(ls, omega, dtype_name, with_aux_right):
+    """One jitted super-batch: lax.map over [SB, chunk] index arrays
+    computes _NBATCH quartet blocks of the class; the stacked result stays
+    on device. Nothing crosses the host link (round 1 shipped every block
+    over the ~30 MB/s axon tunnel: 318 s/645 s DF-build wall time).
+
+    with_aux_right=False: 3c2e (P 0 | a b), returns [N, sP, sa, sb].
+    with_aux_right=True:  2c2e (P 0 | Q 0), returns [N, sP, sQ].
+    """
+    dtype = jnp.dtype(dtype_name)
+
+    def fn(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz, Be, Bc, Bxyz, i1, i2):
+        def one(j1, j2):
+            if with_aux_right:      # (P 0 | Q 0): dummy s on both right slots
+                blk = eri_quartet_kernel(
+                    ls, Pe[j1], Pc[j1], Pxyz[j1], de, dc, Pxyz[j1],
+                    Ae[j2], Ac[j2], Axyz[j2], de, dc, Axyz[j2],
+                    omega=omega)
+                return blk[:, 0, :, 0]
+            blk = eri_quartet_kernel(
+                ls, Pe[j1], Pc[j1], Pxyz[j1], de, dc, Pxyz[j1],
+                Ae[j2], Ac[j2], Axyz[j2], Be[j2], Bc[j2], Bxyz[j2],
+                omega=omega)
+            return blk[:, 0]
+
+        def one_chunk(idx):
+            j1, j2 = idx
+            return jax.vmap(one)(j1, j2).astype(dtype)
+
+        out = jax.lax.map(one_chunk, (i1, i2))     # [SB, chunk, ...]
+        return out.reshape((-1,) + out.shape[2:])
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _scatter3_fn(n, sP, sa, sb, naux1, nao1, dtype_name):
+    """Fused (ab + ba-mirror) scatter of one super-batch of blocks into
+    the padded (P|ab) accumulator. The accumulator is DONATED, so the
+    update is in-place; padding quartets land on the dump row/col."""
+    del n, sP, sa, sb, naux1, nao1, dtype_name   # shape-key only
+
+    def fn(out, blocks, pi, ai, bi):
+        out = out.at[pi[:, :, None, None], ai[:, None, :, None],
+                     bi[:, None, None, :]].set(blocks)
+        return out.at[pi[:, :, None, None], bi[:, None, :, None],
+                      ai[:, None, None, :]].set(blocks.swapaxes(2, 3))
+
+    return jax.jit(fn, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _scatter2_fn(n, sP, sQ, naux1, dtype_name):
+    """2c2e analog of _scatter3_fn (PQ + QP-mirror)."""
+    del n, sP, sQ, naux1, dtype_name
+
+    def fn(out, blocks, pi, qi):
+        out = out.at[pi[:, :, None], qi[:, None, :]].set(blocks)
+        return out.at[qi[:, :, None], pi[:, None, :]].set(
+            blocks.swapaxes(1, 2))
+
+    return jax.jit(fn, donate_argnums=0)
+
+
+def _superbatches(q1: np.ndarray, q2: np.ndarray, chunk: int):
+    """Split quartet index lists into fixed-size super-batches
+    [(i1 [SB, chunk], i2 [SB, chunk], padm [N])]. N is _NBATCH, except a
+    lone small batch for classes under _NBATCH_SMALL quartets."""
+    nreal = len(q1)
+    N = _NBATCH if nreal > _NBATCH_SMALL else _NBATCH_SMALL
+    N = max(N, chunk)
+    nb = -(-nreal // N)
+    npad = nb * N - nreal
+    q1 = np.concatenate([q1, np.zeros(npad, np.int32)]).astype(np.int32)
+    q2 = np.concatenate([q2, np.zeros(npad, np.int32)]).astype(np.int32)
+    padm = np.zeros(nb * N, bool)
+    padm[nreal:] = True
+    sb = N // chunk
+    return [(q1[s:s + N].reshape(sb, chunk), q2[s:s + N].reshape(sb, chunk),
+             padm[s:s + N]) for s in range(0, nb * N, N)]
+
+
+def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
+                      omega: Optional[float] = None,
+                      screen_tol: float = 1e-12,
+                      dtype=jnp.float64, verbose: bool = False):
+    """(P|ab) tensor [naux, nao, nao] assembled entirely on device.
+
+    Per (aux-l-group, AO-pair-class): one lax.map dispatch computes all
+    Schwarz-surviving quartets; two eager advanced-index scatters place the
+    blocks (and their ab<->ba mirrors) into a device-resident accumulator
+    whose padding row/col absorbs chunk padding. No integral data ever
+    crosses the host link. Replaces gpu4pyscf's CUDA int3c2e fill
+    (reference templates ride it via `density_fit()` —
+    /root/reference/templates/calculate_energy.py:151-156)."""
+    from cctpu.ints.two_electron import schwarz_q
+
+    coords = jnp.asarray(coords)
+    naux, nao = aux.nao, basis.nao
+    out = jnp.zeros((naux + 1, nao + 1, nao + 1), dtype=dtype)
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    pcs = pair_classes(basis)
+    qs = schwarz_q(pcs, coords) if screen_tol > 0 else None
+    q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
+    dtn = jnp.dtype(dtype).name
+
+    if verbose:
+        import sys
+        import time as _t
+    for lP in sorted(aux.groups):
+        gP = aux.groups[lP]
+        nP = len(gP.shell_idx)
+        sP = nsph(lP)
+        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
+        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
+        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
+        for ipc, pc in enumerate(pcs):
+            pair_sel = np.arange(pc.n, dtype=np.int64)
+            if qs is not None:
+                pair_sel = pair_sel[qs[ipc] * q_aux_max > screen_tol]
+                if len(pair_sel) == 0:
+                    continue
+            ls = (lP, 0, pc.la, pc.lb)
+            kern = _class_batch_fn(ls, omega, dtn, False)
+            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
+            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
+            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
+            Be = jnp.asarray(_pow2_rows(pc.exps_b))
+            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
+            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
+            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
+            q1 = q1.ravel()
+            q2 = pair_sel[q2.ravel()]
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+            sa, sb = nsph(pc.la), nsph(pc.lb)
+            if verbose:
+                _tk = _t.time()
+            for i1, i2, padm in _superbatches(q1, q2, chunk):
+                blocks = kern(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz,
+                              Be, Bc, Bxyz, jnp.asarray(i1),
+                              jnp.asarray(i2))
+                q1f, q2f = i1.ravel(), i2.ravel()
+                P_idx = np.where(padm[:, None], naux,
+                                 gP.ao_start[q1f][:, None] + np.arange(sP))
+                A_idx = np.where(padm[:, None], nao,
+                                 pc.ao_a[q2f][:, None] + np.arange(sa))
+                B_idx = np.where(padm[:, None], nao,
+                                 pc.ao_b[q2f][:, None] + np.arange(sb))
+                scat = _scatter3_fn(len(q1f), sP, sa, sb, naux + 1,
+                                    nao + 1, dtn)
+                out = scat(out, blocks,
+                           jnp.asarray(P_idx.astype(np.int32)),
+                           jnp.asarray(A_idx.astype(np.int32)),
+                           jnp.asarray(B_idx.astype(np.int32)))
+            if verbose:
+                out.block_until_ready()
+                print(f"#   3c2e ls={ls} nq={len(q1)} chunk={chunk} "
+                      f"{_t.time() - _tk:.1f}s", file=sys.stderr, flush=True)
+    return out[:naux, :nao, :nao]
+
+
+def build_2c2e_device(aux: BasisSet, coords,
+                      omega: Optional[float] = None,
+                      dtype=jnp.float64):
+    """(P|Q) Coulomb metric [naux, naux], device-resident assembly."""
+    coords = jnp.asarray(coords)
+    naux = aux.nao
+    out = jnp.zeros((naux + 1, naux + 1), dtype=dtype)
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    ls_sorted = sorted(aux.groups)
+    dtn = jnp.dtype(dtype).name
+    for i, lP in enumerate(ls_sorted):
+        gP = aux.groups[lP]
+        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
+        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
+        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
+        for lQ in ls_sorted[i:]:
+            gQ = aux.groups[lQ]
+            Qe = jnp.asarray(_pow2_rows(gQ.exps, floor=2048))
+            Qc = jnp.asarray(_pow2_rows(gQ.coefs, floor=2048))
+            Qxyz = coords[jnp.asarray(_pow2_rows(gQ.atom_idx, floor=2048))]
+            nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
+            q1, q2 = np.mgrid[0:nP, 0:nQ]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if lP == lQ:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+            ls = (lP, 0, lQ, 0)
+            kern = _class_batch_fn(ls, omega, dtn, True)
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 gQ.exps.shape[1], 1)
+            sP, sQ = nsph(lP), nsph(lQ)
+            for i1, i2, padm in _superbatches(q1, q2, chunk):
+                blocks = kern(Pe, Pc, Pxyz, de, dc, Qe, Qc, Qxyz,
+                              de, dc, Qxyz, jnp.asarray(i1),
+                              jnp.asarray(i2))
+                q1f, q2f = i1.ravel(), i2.ravel()
+                P_idx = np.where(padm[:, None], naux,
+                                 gP.ao_start[q1f][:, None] + np.arange(sP))
+                Q_idx = np.where(padm[:, None], naux,
+                                 gQ.ao_start[q2f][:, None] + np.arange(sQ))
+                scat = _scatter2_fn(len(q1f), sP, sQ, naux + 1, dtn)
+                out = scat(out, blocks,
+                           jnp.asarray(P_idx.astype(np.int32)),
+                           jnp.asarray(Q_idx.astype(np.int32)))
+    return out[:naux, :naux]
+
+
+@lru_cache(maxsize=None)
+def _chol_inv_fn(n_pad):
+    """jit'ed ridged-Cholesky whitening on a bucket-padded metric (padding
+    block = identity, so the factor is block-diagonal and the top-left
+    block is exactly the unpadded result). Bucketing naux to multiples of
+    512 means the expensive remote compile is shared by every molecule in
+    the bucket."""
+    def fn(M_pad, ridge):
+        n = M_pad.shape[0]
+        L = jnp.linalg.cholesky(M_pad + ridge * jnp.eye(n))
+        eye = jnp.eye(n, dtype=M_pad.dtype)
+        Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True,
+                                               lower=True)
+        return L[-1, -1], Linv
+
+    return jax.jit(fn)
+
+
+def metric_factor(M, rcond: float = 1e-12):
+    """Whitening factor Linv of the Coulomb metric: M^{-1} = Linv^T Linv.
+
+    Fast path: device f64 Cholesky of the lightly-ridged metric + a
+    triangular inverse (both O(naux^3), fine under TPU's emulated f64).
+    Fallback for a near-linearly-dependent autoaux metric where Cholesky
+    breaks down (e.g. the erf-attenuated RSH metric): host
+    eigendecomposition with spectral filtering at ``rcond``, Linv :=
+    pinv-sqrt (same contraction contract: M^{-1} = Linv^T Linv)."""
+    M = jnp.asarray(M)
+    naux = M.shape[0]
+    n_pad = -(-naux // 512) * 512
+    dmax = float(jnp.max(jnp.diagonal(M)))
+    M_pad = jnp.zeros((n_pad, n_pad), M.dtype).at[:naux, :naux].set(M)
+    M_pad = M_pad.at[jnp.arange(naux, n_pad),
+                     jnp.arange(naux, n_pad)].set(1.0 - rcond * dmax)
+    corner, Linv = _chol_inv_fn(n_pad)(M_pad,
+                                       jnp.asarray(rcond * dmax, M.dtype))
+    if bool(jnp.isnan(corner)):
+        w, V = np.linalg.eigh(np.asarray(M))
+        keep = w > rcond * w.max()
+        inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
+        return jnp.asarray((V * inv_sqrt[None, :]).T)
+    return Linv[:naux, :naux]
 
 
 def build_3c2e(basis: BasisSet, aux: BasisSet, coords,
@@ -579,12 +850,45 @@ class CholeskyJK(_BContractions):
         return out
 
 
+# HBM budget for keeping the f64 (P|ab) tensor resident alongside the f32
+# B (v5e has 16 GB; leave room for grids/DIIS/workspaces). Beyond it the
+# build drops to f32 storage: the f32 hot loop is unaffected, but the f64
+# polish is then only f32-B accurate (DFJK.f64_exact flags it).
+_X64_BUDGET_BYTES = float(os.environ.get("CCTPU_DF_F64_BUDGET", 5.0e9))
+
+
+@lru_cache(maxsize=None)
+def _whiten_fn(dtype_name):
+    """jit'ed B = Linv @ X over the flattened AO-pair axis. In f32 this is
+    one MXU matmul (~2.3 TF/s measured on the axon v5e vs ~33 GFLOP/s for
+    the emulated-f64 path), run at HIGHEST precision (6-pass bf16)."""
+    dtype = jnp.dtype(dtype_name)
+
+    def fn(Linv, X):
+        naux = X.shape[0]
+        with jax.default_matmul_precision("highest"):
+            B = Linv.astype(dtype) @ X.reshape(naux, -1).astype(dtype)
+        return B.reshape(X.shape)
+
+    return jax.jit(fn)
+
+
 class DFJK(_BContractions):
     """Density-fitted J/K builder.
 
     B[P,i,j] = sum_Q L^{-1}[P,Q] (Q|ij) with (P|Q) = L L^T, so
       J(D)  = einsum('pij,ij->p', B, D) contracted back,
       K(D)  = einsum('pik,kl,pjl->ij', B, D, B).
+
+    Round-2 build pipeline (all device-resident — round 1 shipped every
+    integral block host-side over a ~30 MB/s link, 318 s at phenol):
+      1. (P|Q) and (P|ab) assembled on device (build_*_device),
+      2. Linv from a device f64 Cholesky (metric_factor),
+      3. the f32 hot-loop tensor B32 = Linv @ X as ONE MXU matmul,
+      4. the f64 B formed LAZILY (first `.B` access) — emulated-f64
+         matmuls run ~70x slower than f32, so pure-f32 consumers (the
+         mixed-precision SCF iterations, the bench timing loop) never
+         pay for it.
     """
 
     def __init__(self, mol, coords=None, beta: float = 1.8,
@@ -593,26 +897,45 @@ class DFJK(_BContractions):
         self.aux = autoaux(basis, beta=beta, extra_l=extra_l,
                            lmax_cap=lmax_cap)
         c = jnp.asarray(mol.coords if coords is None else coords)
-        # Eager per-class assembly: each quartet-class kernel is a small,
-        # persistently-cached XLA module (one giant traced module makes the
-        # TPU compile helper OOM), and the O(naux*nao^2) scatter happens in
-        # host numpy. The differentiable traced builders below remain for
-        # the gradient path.
-        M = build_2c2e_eager(self.aux, c)
-        w, V = np.linalg.eigh(M)
-        keep = w > 1e-12 * w.max()
-        inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
-        Wm = (V * inv_sqrt[None, :]).T
         naux, nao = self.aux.nao, basis.nao
-        # Device-resident assembly + whitening when 2 copies (X and B) fit
-        # HBM: the 3c2e tensor never crosses the tunnel. Host fallback for
-        # larger systems.
-        X = build_3c2e_eager(basis, self.aux, c)
-        B = Wm @ X.reshape(naux, nao * nao)
-        self.B = jnp.asarray(B.reshape(naux, nao, nao))
+        self.f64_exact = naux * nao * nao * 8 <= _X64_BUDGET_BYTES
+        xdt = jnp.float64 if self.f64_exact else jnp.float32
+        M = build_2c2e_device(self.aux, c)
+        self._Linv = metric_factor(M)
+        self._X = build_3c2e_device(basis, self.aux, c, dtype=xdt)
+        self._B32 = _whiten_fn("float32")(self._Linv, self._X)
+        self._B32.block_until_ready()
+        self._B64 = None
         self._mol = mol
         self._coords = c
         self._B_lr = {}
+
+    @property
+    def B(self):
+        """f64 factor tensor (MP2/CASSCF/response consumers). Lazy: formed
+        on first access so f32-only runs skip the emulated-f64 matmul."""
+        if self._B64 is None:
+            if self.f64_exact:
+                self._B64 = _whiten_fn("float64")(self._Linv, self._X)
+            else:
+                self._B64 = self._B32.astype(jnp.float64)
+        return self._B64
+
+    @B.setter
+    def B(self, value):      # parallel/shard_jk.py re-places B on a mesh
+        self._B64 = value
+
+    def prepare_dtype(self, dtype):
+        if jnp.dtype(dtype) == jnp.float32:
+            return           # _B32 is built eagerly in __init__
+        super().prepare_dtype(dtype)
+
+    def _cast_B(self, dtype):
+        ov = self._consts_override
+        if ov is None and jnp.dtype(dtype) == jnp.float32:
+            return self._B32
+        return super()._cast_B(dtype)
+
 
     def _build_B(self, basis, coords):
         X = build_3c2e(basis, self.aux, coords)
@@ -654,12 +977,9 @@ class DFJK(_BContractions):
     def _ensure_lr(self, omega: float):
         if omega not in self._B_lr:
             basis = self._mol.basis_set
-            X = build_3c2e_eager(basis, self.aux, self._coords, omega=omega)
-            M = build_2c2e_eager(self.aux, self._coords, omega=omega)
-            w, V = np.linalg.eigh(M)
-            keep = w > 1e-10 * max(w.max(), 1e-30)
-            inv_sqrt = np.where(keep,
-                                1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
-            naux, nao = X.shape[0], X.shape[1]
-            B = (V * inv_sqrt[None, :]).T @ X.reshape(naux, nao * nao)
-            self._B_lr[omega] = jnp.asarray(B.reshape(naux, nao, nao))
+            xdt = jnp.float64 if self.f64_exact else jnp.float32
+            X = build_3c2e_device(basis, self.aux, self._coords,
+                                  omega=omega, dtype=xdt)
+            M = build_2c2e_device(self.aux, self._coords, omega=omega)
+            Linv = metric_factor(M, rcond=1e-10)
+            self._B_lr[omega] = _whiten_fn(jnp.dtype(xdt).name)(Linv, X)

@@ -1,0 +1,88 @@
+"""Device-resident DF assembly correctness (cited from cctpu/ints/df.py).
+
+The round-2 production build (build_3c2e_device / build_2c2e_device +
+metric_factor) must reproduce the differentiable traced builders exactly:
+same quartet kernels, different dispatch/assembly. Run on the CPU mesh
+(conftest), where "device" == host — the logic under test (lax.map chunked
+dispatch, padded scatters, Cholesky whitening) is platform-independent.
+"""
+
+import numpy as np
+import pytest
+
+from cctpu.core.molecule import Molecule
+from cctpu.ints.df import (DFJK, autoaux, build_2c2e, build_2c2e_device,
+                           build_3c2e, build_3c2e_device, metric_factor)
+
+WATER = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
+
+
+@pytest.fixture(scope="module")
+def water_631g():
+    mol = Molecule.from_atoms(WATER, basis="6-31g")
+    aux = autoaux(mol.basis_set)
+    return mol, aux
+
+
+def test_3c2e_device_matches_traced(water_631g):
+    mol, aux = water_631g
+    X_ref = np.asarray(build_3c2e(mol.basis_set, aux, mol.coords))
+    X_dev = np.asarray(build_3c2e_device(mol.basis_set, aux, mol.coords))
+    assert np.abs(X_dev - X_ref).max() < 1e-12
+
+
+def test_3c2e_device_screening_consistent(water_631g):
+    # Schwarz screening must only drop sub-threshold blocks
+    mol, aux = water_631g
+    X_all = np.asarray(build_3c2e_device(mol.basis_set, aux, mol.coords,
+                                         screen_tol=0.0))
+    X_scr = np.asarray(build_3c2e_device(mol.basis_set, aux, mol.coords,
+                                         screen_tol=1e-12))
+    assert np.abs(X_all - X_scr).max() < 1e-11
+
+
+def test_2c2e_device_matches_traced(water_631g):
+    mol, aux = water_631g
+    M_ref = np.asarray(build_2c2e(aux, mol.coords))
+    M_dev = np.asarray(build_2c2e_device(aux, mol.coords))
+    assert np.abs(M_dev - M_ref).max() < 1e-12
+
+
+def test_metric_factor_is_inverse(water_631g):
+    # The autoaux metric is near-singular (cond ~ 1e10+), so Linv^T Linv M
+    # cannot equal I to high accuracy in the near-null directions; the
+    # property that matters for the fitted ERIs is the generalized-inverse
+    # identity M (Linv^T Linv) M = M.
+    mol, aux = water_631g
+    M = np.asarray(build_2c2e_device(aux, mol.coords))
+    Linv = np.asarray(metric_factor(M))
+    resid = M @ (Linv.T @ (Linv @ M)) - M
+    assert np.abs(resid).max() < 1e-7 * np.abs(M).max()
+
+
+def test_dfjk_b32_consistent_with_b64():
+    # B32 from the single-pass f32 MXU whitening differs from B64
+    # entrywise by ~1e-3 in near-null metric directions (cond(M) ~ 1e10),
+    # but those directions cancel in the FITTED ERIs B^T B — which is the
+    # quantity the f32 hot loop consumes. Pin the ERI-level consistency.
+    mol = Molecule.from_atoms(WATER, basis="6-31g")
+    jk = DFJK(mol)
+    assert jk.f64_exact
+    B64 = np.asarray(jk.B)              # lazy f64 whitening
+    B32 = np.asarray(jk._B32).astype(np.float64)
+    n = B64.shape[1]
+    eri64 = np.einsum("pij,pkl->ijkl", B64, B64).reshape(n * n, n * n)
+    eri32 = np.einsum("pij,pkl->ijkl", B32, B32).reshape(n * n, n * n)
+    assert np.abs(eri32 - eri64).max() < 5e-5
+
+
+def test_dfjk_lr_factor_psd():
+    # attenuated-metric whitening must stay finite and PSD-consistent
+    mol = Molecule.from_atoms(WATER, basis="6-31g")
+    jk = DFJK(mol)
+    jk.prepare_lr(0.33)
+    B = np.asarray(jk._B_lr[0.33])
+    assert np.isfinite(B).all()
+    # (ij|kl)_lr diagonal must be >= 0 (it is a Gram matrix in P)
+    diag = np.einsum("pij,pij->ij", B, B)
+    assert diag.min() > -1e-10
