@@ -2,9 +2,10 @@
 complement).
 
 Replaces gpu4pyscf's analytic Hessian + CPHF machinery (reference
-templates/opt-freq.py:390-398) and retires the 6N finite-difference SCF
-sweep at scale (VERDICT round-1 item #9). Formulation: with the converged
-orbitals C0 at geometry R0, parametrize
+templates/opt-freq.py:390-398, hessian.{RHF,UHF,RKS,UKS} dispatch in
+calculate_reaction_energy.py:167-174) and retires the 6N finite-difference
+SCF sweep at scale. Formulation: with the converged orbitals C0 at
+geometry R0, parametrize
 
     C(kappa, R) = L(R)^{-T} L0^T C0 U(kappa),   S(R) = L(R) L(R)^T
 
@@ -21,21 +22,21 @@ where every block is plain JAX AD of ONE scalar energy function:
  - L_kR / L_RR differentiate through the McMurchie-Davidson integral
    builders and the Becke-grid XC, i.e. the "skeleton derivative" integrals
    of the textbook CPHF equations come out of AD automatically;
- - the linear solve is conjugate gradient, vmapped over all 3N right-hand
-   sides at once (the reference runs 6N serial SCFs instead,
-   opt-freq.py:225-267).
+ - the linear solve is conjugate gradient over the (spin-stacked) rotation
+   vector (the reference runs 6N serial SCFs instead, opt-freq.py:225-267).
 
-Restricted (RHF/RKS) references; closed shell.
+Supports RHF/RKS (closed shell) and UHF/UKS references — kappa is a
+pytree of per-spin occ-virt blocks flattened with ravel_pytree — and
+range-separated hybrids: the erf-attenuated DF factor B_lr is re-traced
+in R inside L_full (round-1 VERDICT item #6 lifted both gates).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.flatten_util import ravel_pytree
 
 
 def _cayley(K):
@@ -45,56 +46,77 @@ def _cayley(K):
     return jnp.linalg.solve(eye - 0.5 * K, eye + 0.5 * K)
 
 
+def _traced_B(basis, aux, R, omega=None, rcond=1e-12):
+    """Whitened DF factor rebuilt at R (differentiable; gradient path
+    twin of ints/df.py DFJK)."""
+    from cctpu.ints.df import build_2c2e, build_3c2e
+    X = build_3c2e(basis, aux, R, omega=omega)
+    M = build_2c2e(aux, R, omega=omega)
+    w_, V_ = jnp.linalg.eigh(M)
+    keep = w_ > rcond * jnp.max(w_)
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w_, 1.0)),
+                         0.0)
+    naux = X.shape[0]
+    return ((V_ * inv_sqrt[None, :]).T
+            @ X.reshape(naux, -1)).reshape(X.shape)
+
+
 def _energy_pieces(mf):
-    """Return fns (ints_of_R, e2_of(dm, R), exc_of(dm, R)) reusing the
-    gradient-path traced builders."""
+    """(one_e, e2_of, exc_of, chol, e_nuc): spin-general energy terms with
+    geometry-traced integrals (mirrors grad/scf_grad.py's Lagrangian)."""
     mol = mf.mol
     basis = mol.basis_set
     charges = jnp.asarray(mol.charges)
     func = getattr(mf, "func", None)
     ax = 1.0 if func is None else func.hyb
+    rsh = None if func is None else func.rsh
     has_xc = func is not None and func.exc is not None
     use_df = getattr(mf, "density_fit", False) not in (False, None, "cd")
 
     from cctpu.ints.one_electron import build_int1e
 
     if use_df:
-        from cctpu.ints.df import build_2c2e, build_3c2e
         aux = mf._jk.aux
 
-        def make_B(R):
-            X = build_3c2e(basis, aux, R)
-            M = build_2c2e(aux, R)
-            w_, V_ = jnp.linalg.eigh(M)
-            keep = w_ > 1e-12 * jnp.max(w_)
-            inv_sqrt = jnp.where(
-                keep, 1.0 / jnp.sqrt(jnp.where(keep, w_, 1.0)), 0.0)
-            naux, nao = X.shape[0], X.shape[1]
-            return ((V_ * inv_sqrt[None, :]).T
-                    @ X.reshape(naux, -1)).reshape(naux, nao, nao)
-
-        def e2_of(dm, R, B=None):
-            B = make_B(R) if B is None else B
-            Jp = jnp.einsum("pij,ij->p", B, dm)
+        def e2_of(dm, R):
+            B = _traced_B(basis, aux, R)
+            Dtot = dm.sum(0) if dm.ndim == 3 else dm
+            Jp = jnp.einsum("pij,ij->p", B, Dtot)
             e2 = 0.5 * jnp.dot(Jp, Jp)
+            if ax or rsh is not None:
+                dms = dm if dm.ndim == 3 else 0.5 * dm[None].repeat(2, 0)
             if ax:
-                ek = jnp.einsum("pik,kl,pjl,ij->", B, dm, B, dm)
-                e2 = e2 - 0.25 * ax * ek
+                ek = sum(jnp.einsum("pik,kl,pjl,ij->", B, dms[s], B, dms[s])
+                         for s in range(2))
+                e2 = e2 - 0.5 * ax * ek
+            if rsh is not None:
+                omega_r, _, beta_r = rsh
+                Bl = _traced_B(basis, aux, R, omega=omega_r, rcond=1e-10)
+                ekl = sum(jnp.einsum("pik,kl,pjl,ij->", Bl, dms[s], Bl,
+                                     dms[s]) for s in range(2))
+                e2 = e2 - 0.5 * beta_r * ekl
             return e2
     else:
         from cctpu.ints.two_electron import (energy_2e_direct, pair_classes,
                                              schwarz_q)
         screen_qs = schwarz_q(pair_classes(basis), mol.coords)
 
-        def e2_of(dm, R, B=None):
-            return energy_2e_direct(basis, R, dm, k_weight=ax,
-                                    screen_qs=screen_qs)
-
-        make_B = None
+        def e2_of(dm, R):
+            e2 = energy_2e_direct(basis, R, dm, k_weight=ax,
+                                  screen_qs=screen_qs)
+            if rsh is not None:
+                omega_r, _, beta_r = rsh
+                e2 = e2 + (energy_2e_direct(basis, R, dm, k_weight=beta_r,
+                                            omega=omega_r,
+                                            screen_qs=screen_qs)
+                           - energy_2e_direct(basis, R, dm, k_weight=0.0,
+                                              omega=omega_r,
+                                              screen_qs=screen_qs))
+            return e2
 
     def one_e(dm, R):
         ints = build_int1e(basis, R, charges)
-        return jnp.einsum("ij,ij->", dm, ints["T"] + ints["V"])
+        return jnp.einsum("...ij,ij->", dm, ints["T"] + ints["V"])
 
     def exc_of(dm, R):
         if not has_xc:
@@ -108,50 +130,47 @@ def _energy_pieces(mf):
     def e_nuc(R):
         return mol.energy_nuc(R)
 
-    return one_e, e2_of, exc_of, chol, e_nuc, make_B
+    return one_e, e2_of, exc_of, chol, e_nuc
 
 
 def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
                      rhs_chunk: int = 12, with_dipole: bool = False):
-    """Cartesian Hessian [3N, 3N] of a converged restricted SCF object.
+    """Cartesian Hessian [3N, 3N] of a converged RHF/RKS/UHF/UKS object.
 
     with_dipole=True additionally returns dmu/dR [3N, 3] for IR
     intensities (reference opt-freq.py IR pipeline) using the same CPHF
     solutions: d mu/dR = mu_R - mu_kappa . X with dkappa/dR = -X."""
     mol = mf.mol
-    assert mf.mo_coeff is not None and mf.mo_coeff.ndim == 2, \
-        "analytic_hessian: restricted closed-shell reference required"
-    func = getattr(mf, "func", None)
-    if func is not None and func.rsh is not None:
-        # the LR-exchange B_lr factor is frozen at R0 here; its geometry
-        # derivative is missing -> second derivatives would be wrong
-        raise NotImplementedError(
-            "analytic Hessian for range-separated hybrids not implemented "
-            "(frozen attenuated-DF factor); use the FD path")
-    C0 = jnp.asarray(mf.mo_coeff)
-    nmo = C0.shape[1]
-    nocc = mol.nelectron // 2
-    nvir = nmo - nocc
+    C_all = jnp.asarray(mf.mo_coeff)
+    restricted = C_all.ndim == 2
     R0 = jnp.asarray(mol.coords)
     natm = mol.natm
     n3 = 3 * natm
 
-    one_e, e2_of, exc_of, chol, e_nuc, make_B = _energy_pieces(mf)
+    if restricted:
+        spins = [(C_all, mol.nelectron // 2, 2.0)]
+    else:
+        spins = [(C_all[0], mol.nalpha, 1.0), (C_all[1], mol.nbeta, 1.0)]
+    nmo = spins[0][0].shape[1]
+
+    one_e, e2_of, exc_of, chol, e_nuc = _energy_pieces(mf)
     L0chol = chol(R0)
 
     def dm_of(kappa, R, transported: bool):
-        K = jnp.zeros((nmo, nmo), C0.dtype)
-        K = K.at[:nocc, nocc:].set(-kappa)
-        K = K.at[nocc:, :nocc].set(kappa.T)
-        U = _cayley(K)
-        C = C0 @ U
-        if transported:
-            Lr = chol(R)
-            # C(R) = L^{-T} L0^T C0 U — orthonormal in S(R) for all R
-            C = jax.scipy.linalg.solve_triangular(
-                Lr.T, L0chol.T @ C, lower=False)
-        Cocc = C[:, :nocc]
-        return 2.0 * Cocc @ Cocc.T
+        """kappa: tuple of per-spin [nocc, nvir] blocks."""
+        dms = []
+        Lr = chol(R) if transported else None
+        for (C0s, no, occw), k in zip(spins, kappa):
+            K = jnp.zeros((nmo, nmo), C0s.dtype)
+            K = K.at[:no, no:].set(-k)
+            K = K.at[no:, :no].set(k.T)
+            C = C0s @ _cayley(K)
+            if transported:
+                # C(R) = L^{-T} L0^T C0 U — orthonormal in S(R) for all R
+                C = jax.scipy.linalg.solve_triangular(
+                    Lr.T, L0chol.T @ C, lower=False)
+            dms.append(occw * C[:, :no] @ C[:, :no].T)
+        return dms[0] if restricted else jnp.stack(dms)
 
     jk = mf.get_jk_builder()
     ints0 = mf.build_ints()
@@ -165,15 +184,24 @@ def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
         integrals constant (cached jk builder / grid chunks), so the CPHF
         operator is pure MXU contractions."""
         dm = dm_of(kappa, R0, transported=False)
+        e = jnp.einsum("...ij,ij->", dm, H0)
         J, K = jk(dm, with_k=bool(ax0))
-        e = jnp.einsum("ij,ij->", dm, H0) + 0.5 * jnp.einsum("ij,ij->",
-                                                             dm, J)
-        if ax0:
-            e = e - 0.25 * ax0 * jnp.einsum("ij,ij->", dm, K)
+        if restricted:
+            e = e + 0.5 * jnp.einsum("ij,ij->", dm, J)
+            if ax0:
+                e = e - 0.25 * ax0 * jnp.einsum("ij,ij->", dm, K)
+        else:
+            Jtot = J[0] + J[1]
+            e = e + 0.5 * jnp.einsum("sij,ij->", dm, Jtot)
+            if ax0:
+                e = e - 0.5 * ax0 * jnp.einsum("sij,sij->", dm, K)
         if func is not None and func.rsh is not None:
             omega, _, beta = func.rsh
-            Klr = jk.k_lr(dm, omega)
-            e = e - 0.25 * beta * jnp.einsum("ij,ij->", dm, Klr)
+            Klr = jk.k_lr(dm, omega)       # frozen B_lr: exact at fixed R
+            if restricted:
+                e = e - 0.25 * beta * jnp.einsum("ij,ij->", dm, Klr)
+            else:
+                e = e - 0.5 * beta * jnp.einsum("sij,sij->", dm, Klr)
         if has_xc0:
             e = e + mf._exc_total(dm)
         if getattr(mf, "_pcm", None) is not None:
@@ -181,15 +209,10 @@ def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
         return e
 
     def L_full(kappa, R):
-        """Energy as a function of (kappa, R) — geometry-traced integrals."""
+        """Energy as a function of (kappa, R) — geometry-traced integrals
+        (incl. the re-traced attenuated DF factor for RSH functionals)."""
         dm = dm_of(kappa, R, transported=True)
         e = one_e(dm, R) + e2_of(dm, R) + exc_of(dm, R) + e_nuc(R)
-        func = getattr(mf, "func", None)
-        if func is not None and func.rsh is not None:
-            # LR exchange: constant-omega attenuated DF factor traced in R
-            omega, _, beta = func.rsh
-            Klr = mf._jk.k_lr(dm, omega)     # frozen B_lr: fixed-R approx
-            e = e - 0.25 * beta * jnp.einsum("ij,ij->", dm, Klr)
         if func is not None and getattr(func, "dispersion", None):
             from cctpu.dft.dispersion import dispersion_energy
             e = e + dispersion_energy(func, mol, R)
@@ -197,19 +220,24 @@ def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
             e = e + mf._pcm.energy(R, dm)
         return e
 
-    k0 = jnp.zeros((nocc, nvir))
-    g_k = jax.grad(L_full, argnums=0)
+    k0 = tuple(jnp.zeros((no, nmo - no)) for _, no, _ in spins)
+    k0_flat, unravel = ravel_pytree(k0)
+    nk = k0_flat.size
 
     # ---- CPHF operator: v -> L_kk @ v (nested jvp at fixed geometry) ----
     gk_fixed = jax.grad(L_fixedR)
 
     @jax.jit
-    def kk_mv(v):
-        return jax.jvp(gk_fixed, (k0,), (v,))[1]
+    def mv_flat(v):
+        tangent = unravel(v)
+        out = jax.jvp(gk_fixed, (k0,), (tangent,))[1]
+        return ravel_pytree(out)[0]
 
-    # ---- mixed block L_kR [nocc*nvir, 3N] and L_RR [3N, 3N] ----
+    # ---- mixed block L_kR [nk, 3N] and L_RR [3N, 3N] ----
+    g_k = jax.grad(L_full, argnums=0)
+
     def gk_of_R(Rflat):
-        return g_k(k0, Rflat.reshape(natm, 3)).ravel()
+        return ravel_pytree(g_k(k0, Rflat.reshape(natm, 3)))[0]
 
     def gR_of_R(Rflat):
         return jax.grad(lambda R: L_full(k0, R))(
@@ -217,7 +245,7 @@ def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
 
     R0f = R0.ravel()
     eye = np.eye(n3)
-    L_kR = np.zeros((nocc * nvir, n3))
+    L_kR = np.zeros((nk, n3))
     L_RR = np.zeros((n3, n3))
     jit_kR = jax.jit(lambda t: jax.jvp(gk_of_R, (R0f,), (t,))[1])
     jit_RR = jax.jit(lambda t: jax.jvp(gR_of_R, (R0f,), (t,))[1])
@@ -228,12 +256,6 @@ def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
     L_RR = 0.5 * (L_RR + L_RR.T)
 
     # ---- CG solve L_kk X = L_kR for all 3N rhs at once ----
-    nk = nocc * nvir
-
-    @jax.jit
-    def mv_flat(v):
-        return kk_mv(v.reshape(nocc, nvir)).ravel()
-
     def cg_block(Bmat):
         X = np.zeros_like(Bmat)
         for s in range(0, Bmat.shape[1], rhs_chunk):
@@ -265,16 +287,16 @@ def analytic_hessian(mf, cg_tol: float = 1e-8, cg_maxiter: int = 60,
     from cctpu.ints.one_electron import build_int1e
     charges = jnp.asarray(mol.charges)
 
-    def mu_full(kappa, Rflat):
+    def mu_full(kflat, Rflat):
         R = Rflat.reshape(natm, 3)
-        dm = dm_of(kappa, R, transported=True)
+        dm = dm_of(unravel(kflat), R, transported=True)
+        Dtot = dm.sum(0) if dm.ndim == 3 else dm
         ints = build_int1e(mol.basis_set, R, charges, with_dipole=True)
-        el = -jnp.einsum("dij,ij->d", ints["dipole"], dm)
+        el = -jnp.einsum("dij,ij->d", ints["dipole"], Dtot)
         nuc = jnp.einsum("i,ix->x", charges, R)
         return el + nuc
 
-    M_R = np.asarray(jax.jacfwd(mu_full, argnums=1)(k0, R0f))   # [3, 3N]
-    M_k = np.asarray(jax.jacfwd(mu_full, argnums=0)(k0, R0f)
-                     ).reshape(3, nocc * nvir)                  # [3, nk]
-    dmu_dR = (M_R - M_k @ X).T                                  # [3N, 3]
+    M_R = np.asarray(jax.jacfwd(mu_full, argnums=1)(k0_flat, R0f))  # [3,3N]
+    M_k = np.asarray(jax.jacfwd(mu_full, argnums=0)(k0_flat, R0f))  # [3,nk]
+    dmu_dR = (M_R - M_k @ X).T                                      # [3N, 3]
     return H, dmu_dR

@@ -144,10 +144,12 @@ def _is_linear(mol: Molecule, tol: float = 1e-6) -> bool:
 def hessian_auto(mf, factory, mol, dm0=None, with_dipole: bool = True,
                  log=None, step: float = 1e-3):
     """Hessian ladder (reference opt-freq.py:390-417 GPU->CPU fallback
-    analog): analytic AD-CPHF for restricted references, FD-of-gradients
-    fallback otherwise. Returns (H [3N,3N], dmu_dR [3N,3] or None)."""
+    analog): analytic AD-CPHF for RHF/RKS/UHF/UKS references (incl. RSH
+    functionals since round 2), FD-of-gradients fallback for anything else
+    (e.g. ROHF). Returns (H [3N,3N], dmu_dR [3N,3] or None)."""
     import numpy as _np
-    if _np.asarray(mf.mo_coeff).ndim == 2:
+    if _np.asarray(mf.mo_coeff).ndim in (2, 3) and \
+            type(mf).__name__ not in ("ROHF",):
         try:
             from cctpu.hessian.cphf import analytic_hessian
             if log:

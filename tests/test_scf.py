@@ -88,3 +88,16 @@ def test_formaldehyde_631gs_regression():
         basis="6-31g*")
     e = RHF(m).kernel()
     assert abs(e - (-113.8643165038)) < 1e-8
+
+
+def test_uhf_breaks_symmetry_stretched_h2():
+    # At 3.0 A the UHF minimum is the broken-symmetry (biradical) solution;
+    # a spin-symmetric guess is a fixed point of the UHF map, so this pins
+    # the HOMO/LUMO-mixed beta guess (round-1 VERDICT item #9).
+    m = Molecule.from_atoms("H 0 0 0; H 0 0 3.0", basis="sto-3g")
+    e_r = RHF(m).kernel()
+    mf = UHF(m)
+    e_u = mf.kernel()
+    assert e_u < e_r - 0.05
+    s2, _ = mf.spin_square()
+    assert s2 > 0.9          # ~1.0 for a singlet biradical
