@@ -53,6 +53,32 @@ def _rfo_step(H, g, trust):
     return step
 
 
+def _project_tr(gx: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Remove rigid-body translation/rotation components of a Cartesian
+    gradient [3N]. QC gradients have ~0 net force/torque already, but a
+    lab-frame-discretized solvent cavity (PCM Lebedev grid orientations
+    are fixed in space) leaves a genuine residual torque that internal
+    coordinates rightly cannot relax — convergence must be judged on the
+    projected gradient, as geomeTRIC does in its internal space."""
+    natm = coords.shape[0]
+    com = coords.mean(axis=0)
+    basis = []
+    for d in range(3):
+        t = np.zeros((natm, 3))
+        t[:, d] = 1.0
+        basis.append(t.ravel())
+    rel = coords - com
+    for d in range(3):
+        ax = np.zeros(3)
+        ax[d] = 1.0
+        basis.append(np.cross(rel, ax).ravel())
+    A = np.stack(basis, axis=1)                      # [3N, 6]
+    # SVD keeps only genuine rigid modes (linear molecules: 5, not 6)
+    U, s, _ = np.linalg.svd(A, full_matrices=False)
+    Q = U[:, s > 1e-8 * s.max()]
+    return gx - Q @ (Q.T @ gx)
+
+
 def optimize(mf_factory: Callable[[Molecule], object], mol: Molecule,
              maxsteps: int = 50, trust: float = 0.3,
              conv_e: float = 1e-6, conv_gmax: float = 4.5e-4,
@@ -97,8 +123,9 @@ def optimize(mf_factory: Callable[[Molecule], object], mol: Molecule,
             gq = gx
             q_now = coords.ravel().copy()
 
-        gmax = np.abs(gx).max()
-        grms = np.sqrt(np.mean(gx ** 2))
+        gp = _project_tr(gx, coords)
+        gmax = np.abs(gp).max()
+        grms = np.sqrt(np.mean(gp ** 2))
         de = None if e_last is None else e - e_last
         if verbose:
             print(f"opt step {step_i:3d}  E = {e:.10f}  "

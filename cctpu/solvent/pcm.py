@@ -106,10 +106,20 @@ def potential_integrals(basis, coords, points, chunk: int = 256):
 
 
 class PCMModel:
+    """Polarizable-continuum cavity model.
+
+    ``method``: 'ief-pcm' (default — matches pyscf.solvent.PCM's default
+    the reference templates ride) solves the integral-equation-formalism
+    equations K q = R V with K = S - f/(2pi) D A S and
+    R = -f (I - D A / (2pi)), f = (eps-1)/(eps+1); 'c-pcm' is the
+    conductor-like limit K = S, R = -f I with f = (eps-1)/eps (accurate
+    for high-eps solvents, diverges from IEF at low eps)."""
+
     def __init__(self, mol, eps: float = 78.39, n_ang: int = 17,
-                 scale: float = 1.2):
+                 scale: float = 1.2, method: str = "ief-pcm"):
         self.mol = mol
         self.eps = eps
+        self.method = method.lower().replace("_", "-")
         Z = mol.charges.astype(int)
         u, wa = angular_product(n_ang)           # unit sphere, sum w = 4 pi
         pts_list, w_list, atom_of = [], [], []
@@ -126,7 +136,9 @@ class PCMModel:
         self.radii = radii
 
     def f_eps(self):
-        return (self.eps - 1.0) / self.eps
+        if self.method.startswith("c"):
+            return (self.eps - 1.0) / self.eps
+        return (self.eps - 1.0) / (self.eps + 1.0)
 
     def cavity(self, coords):
         """Surface points + smoothly switched areas (differentiable)."""
@@ -141,49 +153,85 @@ class PCMModel:
         sw = jnp.prod(jnp.where(other, inside, 1.0), axis=1)
         return pts, jnp.asarray(self.areas0) * sw
 
-    def energy(self, coords, dm, v_ints=None):
-        """E_solv[D] (differentiable in dm and coords)."""
+    def kernel_matrices(self, coords):
+        """Cavity discretization + the (K, R) pair of K q = R V.
+
+        Buried points are suppressed smoothly: the switching function
+        drives their areas to 0, which (a) blows up the S diagonal
+        ~1/sqrt(a) so their charges vanish and (b) zeroes their columns
+        in D A. Everything is differentiable in ``coords``."""
         pts, areas = self.cavity(coords)
-        keep = areas > 1e-8  # static-ish; areas traced -> use soft weights
-        # S matrix (COSMO collocation): off-diag 1/r, diag 1.0694*sqrt(4pi/a)
+        n = pts.shape[0]
+        eye = jnp.eye(n, dtype=bool)
         rij = jnp.linalg.norm(pts[:, None, :] - pts[None, :, :]
                               + 1e-30, axis=-1)
-        n = pts.shape[0]
-        Smat = jnp.where(jnp.eye(n, dtype=bool), 0.0, 1.0 / (rij + 1e-30))
+        Smat = jnp.where(eye, 0.0, 1.0 / (rij + 1e-30))
         diag = 1.0694 * jnp.sqrt(4.0 * math.pi / jnp.maximum(areas, 1e-10))
         Smat = Smat + jnp.diag(diag)
-        # weight matrix formulation with areas folded into charges:
-        # solve (S) q = -f V  on area-weighted charges
+        f = self.f_eps()
+        if self.method.startswith("c"):
+            # conductor-like: K = S (+ tiny ridge), R = -f I
+            K = Smat + jnp.eye(n) * 1e-10
+            return pts, areas, K, -f * jnp.eye(n)
+        # IEF-PCM: double-layer operator D_ij = (r_i - r_j).n_j / r^3,
+        # diagonal from the Gauss sum rule sum_j D_ij a_j = -2 pi
+        nrm = (pts - coords[self.atom_of]) / \
+            jnp.asarray(self.radii)[self.atom_of][:, None]
+        diff = pts[:, None, :] - pts[None, :, :]
+        Dmat = jnp.where(eye, 0.0,
+                         jnp.sum(diff * nrm[None, :, :], axis=-1)
+                         / (rij ** 3 + 1e-30))
+        a = jnp.maximum(areas, 1e-10)
+        Ddiag = -(2.0 * math.pi + jnp.sum(Dmat * areas[None, :], axis=1)) / a
+        Dmat = Dmat + jnp.diag(Ddiag)
+        DA = Dmat * areas[None, :]
+        inv2pi = 1.0 / (2.0 * math.pi)
+        K = Smat - f * inv2pi * (DA @ Smat) + jnp.eye(n) * 1e-10
+        R = -f * (jnp.eye(n) - inv2pi * DA)
+        return pts, areas, K, R
+
+    def potential(self, coords, dm, pts, v_ints=None):
+        """Total electrostatic potential V(dm) on the surface points."""
         Dtot = dm[0] + dm[1] if dm.ndim == 3 else dm
         if v_ints is None:
             v_ints = potential_integrals(self.mol.basis_set, coords, pts)
         V_el = -jnp.einsum("nij,ij->n", v_ints, Dtot)
         Zs = jnp.asarray(self.mol.charges)
         dnuc = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :], axis=-1)
-        V_nuc = jnp.sum(Zs[None, :] / (dnuc + 1e-30), axis=1)
-        V = V_el + V_nuc
-        # zero-out buried points via area weighting of the interaction
-        aw = jnp.sqrt(jnp.maximum(areas / (4 * math.pi), 0.0))
-        # scaled system: q' on weighted basis
-        Sw = Smat * aw[:, None] * aw[None, :]
-        Sw = Sw + jnp.eye(n) * 1e-10
-        Vw = V * aw
-        qw = -self.f_eps() * jnp.linalg.solve(Sw, Vw)
-        return 0.5 * jnp.dot(qw, Vw)
+        return V_el + jnp.sum(Zs[None, :] / (dnuc + 1e-30), axis=1)
+
+    def energy(self, coords, dm, v_ints=None):
+        """E_solv[D] (differentiable in dm and coords) — the from-scratch
+        path used by the nuclear-gradient AD (grad/scf_grad.py)."""
+        pts, areas, K, R = self.kernel_matrices(coords)
+        V = self.potential(coords, dm, pts, v_ints=v_ints)
+        q = jnp.linalg.solve(K, R @ V)
+        return 0.5 * jnp.dot(q, V)
 
 
-def PCM(mf, eps: float = 78.39, solvent: Optional[str] = None):
-    """Wrap a (not-yet-run) SCF object with C-PCM solvation."""
+def PCM(mf, eps: float = 78.39, solvent: Optional[str] = None,
+        method: str = "ief-pcm"):
+    """Wrap a (not-yet-run) SCF object with PCM solvation.
+
+    Replaces pyscf.solvent.PCM(mf) + ``mf.eps = eps`` (reference
+    calculate_solvent_effect.py:101-134). The cavity kernel Q = K^{-1} R
+    and the surface potential integrals are factored ONCE per geometry
+    here (round-1 VERDICT item #7: a dense solve per Fock build); each
+    SCF cycle then costs one [npts, nao^2] contraction + two matvecs.
+    """
     if solvent is not None:
         eps = SOLVENT_PARAMS[solvent.lower()]
-    model = PCMModel(mf.mol, eps=eps)
+    model = PCMModel(mf.mol, eps=eps, method=method)
     mf._pcm = model
-    pts, areas = model.cavity(mf.coords)
-    v_ints = potential_integrals(mf.mol.basis_set, mf.coords, pts)
+    coords = jnp.asarray(mf.coords)
+    pts, areas, K, R = model.kernel_matrices(coords)
+    Qmat = jnp.linalg.solve(K, R)        # q = Q V; one factorization
+    v_ints = potential_integrals(mf.mol.basis_set, coords, pts)
     orig_get_veff = mf.get_veff
 
     def exp_energy(dm):
-        return model.energy(mf.coords, dm, v_ints=v_ints)
+        V = model.potential(coords, dm, pts, v_ints=v_ints)
+        return 0.5 * jnp.dot(Qmat @ V, V)
 
     def get_veff(dm, cocc=None):
         veff, e2 = orig_get_veff(dm, cocc=cocc)

@@ -25,6 +25,12 @@ def main(argv=None):
                    choices=sorted(SOLVENT_PARAMS))
     p.add_argument("--compare-solvents", action="store_true",
                    help="run the multi-solvent comparison table")
+    p.add_argument("--opt", action="store_true",
+                   help="re-optimize the geometry inside the solvent "
+                        "(reference calculate_solvent_effect.py:116-131)")
+    p.add_argument("--pcm-method", default="ief-pcm",
+                   choices=["ief-pcm", "c-pcm"])
+    p.add_argument("--maxsteps", type=int, default=50)
     args = p.parse_args(argv)
     out, short, log, tag = open_reports(args, "solvent")
     t = Timer()
@@ -42,17 +48,36 @@ def main(argv=None):
 
     _last_dm = [mf_gas.make_rdm1()]
 
-    def pcm_run(solvent):
-        mf, _ = make_scf(mol, args.method, args.density_fit,
+    def pcm_run(solvent, m=None):
+        mf, _ = make_scf(m or mol, args.method, args.density_fit,
                          grid_level=args.grid_level)
-        mf = PCM(mf, solvent=solvent)
+        mf = PCM(mf, solvent=solvent, method=args.pcm_method)
         # warm start from the previous solvent's density (the solvated
         # densities are much closer to each other than to gas phase)
-        e = mf.kernel(dm0=_last_dm[0])
+        e = mf.kernel(dm0=_last_dm[0] if m is None else None)
         _last_dm[0] = mf.make_rdm1()
         return mf, e
 
     mf_sol, e_sol = pcm_run(args.solvent)
+
+    if args.opt:
+        # in-solvent geometry relaxation: PCM nuclear gradients come from
+        # AD of PCMModel.energy (grad/scf_grad.py), mirroring the
+        # reference's optional PCM-opt (calculate_solvent_effect.py:116)
+        from cctpu.geomopt.optimizer import optimize
+
+        def factory(m):
+            mf, _ = make_scf(m, args.method, args.density_fit,
+                             grid_level=args.grid_level)
+            return PCM(mf, solvent=args.solvent, method=args.pcm_method)
+
+        res = optimize(factory, mol, maxsteps=args.maxsteps, verbose=1)
+        tag_c = "converged" if res.converged else "NOT converged"
+        out.print(f"in-solvent optimization: {tag_c} in "
+                  f"{len(res.energies)} steps, "
+                  f"dE = {(res.energies[-1] - e_sol) * HARTREE2KCAL:.3f} "
+                  f"kcal/mol vs gas-phase geometry")
+        mf_sol, e_sol = res.mf, res.energies[-1]
     dg = (e_sol - e_gas) * HARTREE2KCAL
     mu_s = np.linalg.norm(mf_sol.dip_moment())
     h_s, l_s = homo_lumo(mf_sol)
