@@ -798,7 +798,14 @@ class _BContractions:
     def __call__(self, dm, with_k: bool = True, cocc=None):
         B = self._cast_B(dm.dtype)
         if dm.ndim == 2 and self._use_pallas(dm.dtype):
-            from cctpu.ops.df_jk_pallas import df_j_fast
+            from cctpu.ops.df_jk_pallas import (df_j_fast, df_jk_fused,
+                                                fused_jk_supported)
+            if with_k and cocc is not None \
+                    and not isinstance(cocc, (tuple, list)) \
+                    and fused_jk_supported():
+                # fused single-pass kernel: B streamed through VMEM once
+                # for J AND K (the split kernels read it three times)
+                return df_jk_fused(B, dm, cocc)
             J = df_j_fast(B, dm)
         else:
             Jp = jnp.einsum("pij,...ij->...p", B, dm)

@@ -164,6 +164,108 @@ def df_k_fast(B, Cocc, interpret: bool = False):
     return K
 
 
+def _fused_jk_kernel(nocc_p, tp, b_ref, d_ref, c_ref, j_ref, k_ref, w_ref):
+    """ONE streaming pass over B per SCF cycle: per naux-tile
+        jp[p]  = sum_ij B[p] * D          (VPU reduce; Jp[p] only needs B[p])
+        J     += sum_p jp[p] * B[p]       (VPU)
+        W[p]   = C^T B[p]                 (MXU, in-kernel -- no XLA W tensor)
+        K     += W_stack^T W_stack        (MXU)
+    vs the split kernels' 3 reads of B + an HBM round-trip of W
+    [naux, nocc, nao] (round-1 VERDICT item #2)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        j_ref[:] = jnp.zeros_like(j_ref)
+        k_ref[:] = jnp.zeros_like(k_ref)
+
+    B3 = b_ref[:]                                    # [TP, nao, nao]
+    D2 = d_ref[:]                                    # [1, nao, nao]
+    jp = jnp.sum(B3 * D2, axis=(1, 2))               # [TP]
+    j_ref[:] += jnp.sum(jp[:, None, None] * B3, axis=0)
+
+    # w[a, i] = sum_k C[k, a] B[p, i, k]  (W[p,i,a] of the einsum path,
+    # transposed -- exact for ANY B, not just the symmetric physical one)
+    dn_w = (((0,), (1,)), ((), ()))
+    for p in range(tp):                              # static unroll
+        w = jax.lax.dot_general(
+            c_ref[:], B3[p], dn_w,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # [nocc_p, nao]
+        w_ref[p * nocc_p:(p + 1) * nocc_p, :] = w
+    W = w_ref[:]
+    # HIGHEST: true-f32 MXU passes (bf16 single-pass breaks the f32 SCF
+    # phase's DIIS floor, see _k_kernel)
+    k_ref[:] += jax.lax.dot_general(
+        W, W, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def df_jk_fused(B, D, Cocc, interpret: bool = False):
+    """f32 Pallas fused DF J+K: J = B^T (B.D), K = sum_p B[p] C C^T B[p]
+    with B streamed through VMEM exactly once. Cocc columns carry
+    sqrt(occupation) (same contract as df_k_fast)."""
+    B = B.astype(jnp.float32)
+    D = D.astype(jnp.float32)
+    Cocc = Cocc.astype(jnp.float32)
+    naux, nao, _ = B.shape
+    nocc = Cocc.shape[1]
+    nocc_p = _round_up(nocc, 8)       # sublane-aligned W row slices
+    Cp = jnp.pad(Cocc, ((0, 0), (0, nocc_p - nocc)))
+    # [TP, nao, nao] B tile within ~16 MB of VMEM (plus J/K/D/W blocks)
+    tp = max(8, min(64, (16 * 1024 * 1024 // max(nao * nao * 4, 1))
+                    // 8 * 8))
+    naux_p = _round_up(naux, tp)
+    Bp = jnp.pad(B, ((0, naux_p - naux), (0, 0), (0, 0)))
+    D3 = D.reshape(1, nao, nao)
+
+    with jax.enable_x64(False):
+        J, K = pl.pallas_call(
+            partial(_fused_jk_kernel, nocc_p, tp),
+            grid=(naux_p // tp,),
+            in_specs=[pl.BlockSpec((tp, nao, nao), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, nao, nao), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((nao, nocc_p), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((nao, nao), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((nao, nao), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((nao, nao), jnp.float32),
+                       jax.ShapeDtypeStruct((nao, nao), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((tp * nocc_p, nao), jnp.float32)],
+            interpret=interpret,
+        )(Bp, D3, Cp)
+    return J, K
+
+
+_FUSED_OK = None
+
+
+def fused_jk_supported() -> bool:
+    """One-time compiled probe of the fused kernel on the attached device
+    (Mosaic lowering can differ between TPU generations; if it rejects the
+    fused layout the SCF hot loop silently falls back to the split
+    kernels instead of failing mid-bench)."""
+    global _FUSED_OK
+    if _FUSED_OK is None:
+        try:
+            import numpy as _np
+            B = jnp.asarray(_np.ones((8, 16, 16), _np.float32))
+            C = jnp.asarray(_np.ones((16, 4), _np.float32))
+            D = jnp.asarray(_np.eye(16, dtype=_np.float32))
+            J, K = df_jk_fused(B, D, C)
+            J.block_until_ready()
+            _FUSED_OK = bool(jnp.isfinite(J).all() & jnp.isfinite(K).all())
+        except Exception:
+            _FUSED_OK = False
+    return _FUSED_OK
+
+
 def df_jk_fast(B, D, Cocc, tile_p: int = 8, interpret: bool = False):
     """f32 Pallas DF J and K together (kept for tests/back-compat)."""
     del tile_p
