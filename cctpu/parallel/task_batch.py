@@ -276,3 +276,223 @@ def batched_rks(mol: Molecule, coords_batch, dm0, xc: str = "b3lyp",
         with mesh:
             return vfn(coords_batch, dm0)
     return vfn(coords_batch, dm0)
+
+
+# ----------------------------------------------------------------------------
+# Masked fragment batching: the whole BDE sweep as ONE batched solve
+# ----------------------------------------------------------------------------
+
+def ao_mask_for_atoms(basis, atom_ids) -> np.ndarray:
+    """[nao] 0/1 mask selecting the AOs centered on `atom_ids`."""
+    from cctpu.ints.one_electron import nsph as _nsph
+    mask = np.zeros(basis.nao)
+    ids = set(int(a) for a in atom_ids)
+    for sh in basis.shells:
+        if sh.atom in ids:
+            mask[sh.ao_start:sh.ao_start + 2 * sh.l + 1] = 1.0
+    return mask
+
+
+def _single_uks_masked(n_cycles, S, T, V_atoms, jk_fn, exc_fn, ax, coords,
+                       big, Z, mask, na, nb, dm0):
+    """One basis-masked unrestricted SCF, vmappable over fragment tasks.
+
+    All tasks share the parent geometry/basis (the BDE mmff tier inherits
+    parent coordinates, reference calculate_bde.py:302-313), so S, T, the
+    per-atom nuclear-attraction components V_atoms [natm, nao, nao] and the
+    ERI/DF tensors are built ONCE. A fragment is (Z zeroed on ghost atoms,
+    AO mask M): masked rows/cols of S and F are replaced by decoupled unit
+    diagonals pushed to +``big`` Ha, so its orbitals are never occupied and
+    the real-block problem equals the fragment-only-basis SCF exactly.
+    Occupations use traced (na, nb) — one compile covers every fragment.
+    """
+    nao = S.shape[0]
+    m2 = mask[:, None] * mask[None, :]
+    V = jnp.einsum("a,aij->ij", Z, V_atoms)
+    H = (T + V) * m2
+    Sm = S * m2 + jnp.diag(1.0 - mask)
+    X = _orthogonalizer(Sm)
+    shift = jnp.diag((1.0 - mask) * big)
+
+    diis0 = diis_init(8, 2 * nao * nao)
+
+    def fock(dm_s):
+        J, K = jk_fn(dm_s)
+        veff = jnp.stack([J - ax * K[0], J - ax * K[1]])
+        e2 = 0.5 * jnp.einsum("ij,ij->", dm_s[0] + dm_s[1], J) \
+            - 0.5 * ax * jnp.einsum("sij,sij->", dm_s, K)
+        if exc_fn is not None:
+            e2 = e2 + exc_fn(dm_s)
+            vxc = jax.grad(exc_fn)(dm_s)
+            vxc = 0.5 * (vxc + jnp.swapaxes(vxc, 1, 2))
+            veff = veff + vxc
+        F = (H[None] + veff) * m2[None] + shift[None]
+        e_elec = jnp.einsum("sij,ij->", dm_s, H) + e2
+        return F, e_elec
+
+    def cycle(carry, _):
+        diis, dm_s = carry
+        F, e_elec = fock(dm_s)
+        errs = []
+        for s in range(2):
+            sdf = Sm @ dm_s[s] @ F[s]
+            errs.append(X.T @ (sdf - sdf.T) @ X)
+        err = jnp.stack(errs)
+        err_norm = jnp.linalg.norm(err)
+        diis, F_x = diis_update(diis, F, err)
+        F_x = F_x.reshape(2, nao, nao)
+        dms = []
+        for s, nocc in ((0, na), (1, nb)):
+            mo_e, mo_c = _fock_eig(F_x[s], X)
+            occ = (jnp.arange(nao) < nocc) * 1.0
+            dms.append((mo_c * occ[None, :]) @ mo_c.T)
+        dm_new = jnp.stack(dms)
+        return (diis, dm_new), (e_elec, err_norm)
+
+    (_, dm_s), (es, errs) = jax.lax.scan(cycle, (diis0, dm0), None,
+                                         length=n_cycles)
+    natm = coords.shape[0]
+    diff = coords[:, None, :] - coords[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, -1) + jnp.eye(natm))
+    e_nuc = 0.5 * jnp.einsum("i,j,ij->", Z, Z,
+                             (1.0 - jnp.eye(natm)) / dist)
+    e_tot = es[-1] + e_nuc
+    converged = (errs[-1] < 1e-6) & (jnp.abs(es[-1] - es[-2]) < 1e-9)
+    return e_tot, dm_s, converged
+
+
+def batched_fragment_scf(mol: Molecule, Z_batch, mask_batch, na_batch,
+                         nb_batch, xc: Optional[str] = None,
+                         density_fit: bool = False, n_cycles: int = 45,
+                         grid_level: int = 2, grid_chunk: int = 2048,
+                         mesh: Optional[Mesh] = None):
+    """Parent + fragment SCFs as one sharded batch (BDE sweep batching,
+    round-1 VERDICT item #5; replaces the reference's serial per-bond loop
+    calculate_bde.py:574-583 at the mmff tier).
+
+    Z_batch [T, natm]: effective charges (0 on each task's ghost atoms);
+    mask_batch [T, nao]; na/nb_batch [T] spin occupations.
+    Returns (e_tot [T], converged [T]).
+    """
+    basis = mol.basis_set
+    coords = jnp.asarray(mol.coords)
+    charges = np.asarray(mol.charges, dtype=float)
+    natm = mol.natm
+
+    from cctpu.ints.one_electron import build_int1e
+    ints = build_int1e(basis, coords, jnp.asarray(charges))
+    S, T = ints["S"], ints["T"]
+    # V is linear in the charges: per-atom unit-charge components let each
+    # task contract its own Z on the fly
+    V_atoms = jnp.stack([
+        build_int1e(basis, coords,
+                    jnp.asarray(np.eye(natm)[a]))["V"]
+        for a in range(natm)])
+
+    if density_fit:
+        from cctpu.ints.df import DFJK
+        B = DFJK(mol).B
+
+        def jk_fn(dm_s):
+            Dtot = dm_s[0] + dm_s[1]
+            Jp = jnp.einsum("pij,ij->p", B, Dtot)
+            J = jnp.einsum("p,pij->ij", Jp, B)
+            W = jnp.einsum("pik,skl->spil", B, dm_s)
+            K = jnp.einsum("spil,pjl->sij", W, B)
+            return J, K
+    else:
+        eri = build_eri_traced(basis, coords)
+
+        def jk_fn(dm_s):
+            J = jnp.einsum("ijkl,kl->ij", eri, dm_s[0] + dm_s[1])
+            K = jnp.einsum("sikjl,skl->sij",
+                           jnp.broadcast_to(eri, (2,) + eri.shape), dm_s)
+            return J, K
+
+    ax = 1.0
+    exc_fn = None
+    if xc is not None:
+        from cctpu.dft.grids import Grids
+        from cctpu.dft.numint import eval_ao
+        from cctpu.dft.xc import get_functional
+        func = get_functional(xc)
+        ax = func.hyb
+        grids = Grids(mol, level=grid_level)
+        pts, w = grids.build(coords)
+        npts = pts.shape[0]
+        npad = (-npts) % grid_chunk
+        pts = jnp.pad(pts, ((0, npad), (0, 0)), constant_values=1e6)
+        w = jnp.pad(w, (0, npad))
+        pts_c = pts.reshape(-1, grid_chunk, 3)
+        w_c = w.reshape(-1, grid_chunk)
+        is_mgga = func.xctype == "MGGA"
+
+        def exc_fn(dm_s):
+            def body(acc, chunk):
+                p, wt = chunk
+                ao = eval_ao(basis, coords, p, deriv=1)
+                a0 = ao[0]
+                rho, sig, tau = [], {}, []
+                d_ao = []
+                for s in range(2):
+                    ds = jnp.einsum("ij,pj->pi", dm_s[s], a0)
+                    rho.append(jnp.einsum("pi,pi->p", a0, ds))
+                    g = jnp.stack(
+                        [2 * jnp.einsum("pi,pi->p", ao[1 + d], ds)
+                         for d in range(3)], -1)
+                    d_ao.append(g)
+                    if is_mgga:
+                        tau.append(0.5 * sum(
+                            jnp.einsum("pi,ij,pj->p", ao[1 + d], dm_s[s],
+                                       ao[1 + d]) for d in range(3)))
+                    else:
+                        tau.append(jnp.zeros_like(rho[s]))
+                saa = jnp.einsum("pd,pd->p", d_ao[0], d_ao[0])
+                sab = jnp.einsum("pd,pd->p", d_ao[0], d_ao[1])
+                sbb = jnp.einsum("pd,pd->p", d_ao[1], d_ao[1])
+                e = func.exc(rho[0], rho[1], saa, sab, sbb, tau[0], tau[1])
+                return acc + jnp.sum(wt * e), None
+
+            total, _ = jax.lax.scan(body, 0.0, (pts_c, w_c))
+            return total
+
+    T_tasks = len(Z_batch)
+    Z_batch = jnp.asarray(np.asarray(Z_batch, dtype=float))
+    mask_batch = jnp.asarray(np.asarray(mask_batch, dtype=float))
+    na_batch = jnp.asarray(np.asarray(na_batch, dtype=np.int32))
+    nb_batch = jnp.asarray(np.asarray(nb_batch, dtype=np.int32))
+
+    # SAD-flavoured start: the parent minao density masked down per task,
+    # per-spin scaled to the task's electron counts
+    from cctpu.scf.hf import UHF
+    dm_parent = np.asarray(UHF(mol).init_guess_dm())
+    if dm_parent.ndim == 3:
+        dm_parent = np.asarray(dm_parent.sum(0))
+    ne_parent = float(np.asarray(mol.charges).sum() - mol.charge)
+    dm0 = []
+    for t in range(T_tasks):
+        m2 = np.outer(mask_batch[t], mask_batch[t])
+        base = dm_parent * m2
+        ne = float(na_batch[t] + nb_batch[t])
+        dm0.append(np.stack([
+            base * (float(na_batch[t]) / ne_parent),
+            base * (float(nb_batch[t]) / ne_parent)]))
+        del ne
+    dm0 = jnp.asarray(np.stack(dm0))
+
+    fn = partial(_single_uks_masked, n_cycles, S, T, V_atoms, jk_fn,
+                 exc_fn, ax, coords, 1e4)
+    vfn = jax.jit(jax.vmap(fn))
+    args = (Z_batch, mask_batch, na_batch, nb_batch, dm0)
+    if mesh is not None:
+        npad = (-T_tasks) % mesh.devices.size
+        if npad:
+            args = tuple(jnp.concatenate(
+                [a, jnp.repeat(a[-1:], npad, 0)]) for a in args)
+        shard = NamedSharding(mesh, P("task"))
+        args = tuple(jax.device_put(a, shard) for a in args)
+        with mesh:
+            e, _, conv = vfn(*args)
+        return np.asarray(e)[:T_tasks], np.asarray(conv)[:T_tasks]
+    e, _, conv = vfn(*args)
+    return np.asarray(e)[:T_tasks], np.asarray(conv)[:T_tasks]
