@@ -55,6 +55,13 @@ def _log(msg):
           flush=True)
 
 
+# Host-f64 oracle for the solved phenol stage (CPU, conv_tol 1e-10,
+# grid_level 2, DF-B3LYP/6-31G*): the device-achieved |dE| against it is
+# the demonstrable accuracy of the mixed-precision path (round-1 VERDICT
+# item #3 -- report the number instead of silently widening conv_tol).
+ORACLES = {"phenol_631gs": -307.457890943700}
+
+
 def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
                solve=True):
     import jax
@@ -137,7 +144,10 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
                   "converged": bool(mf.converged),
                   "nao": int(mol.nao), "naux": int(mf._jk.aux.nao),
                   "basis": basis, "f64_s_per_cycle": per_iter64,
-                  "build_and_solve_s": round(t_solve, 1)},
+                  "build_and_solve_s": round(t_solve, 1),
+                  "abs_dE_vs_host_f64_Ha": (
+                      round(abs(float(e) - ORACLES[name]), 10)
+                      if solve and name in ORACLES else None)},
     }
 
 
