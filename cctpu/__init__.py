@@ -42,7 +42,20 @@ def _host_fingerprint() -> str:
     # platform set matters too: an axon session's CPU-client compiles embed
     # different XLA codegen flags (prefer-no-scatter/gather) than a pure
     # cpu session's, and cross-loading those AOT entries SIGILLs
-    tag += "_" + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "-")
+    platforms = _os.environ.get("JAX_PLATFORMS", "default")
+    tag += "_" + platforms.replace(",", "-")
+    if "axon" not in platforms and "tpu" not in platforms:
+        # XLA:CPU AOT entries embed LLVM's host feature detection, which
+        # /proc/cpuinfo cannot reproduce: two VM boots can land on
+        # different physical hosts with identical virtualized cpuinfo and
+        # SIGSEGV loading each other's entries (observed killing a test
+        # run). Scope CPU caches to one boot; TPU-target entries carry no
+        # host codegen and stay shareable across boots.
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                tag += "_" + f.read().strip()[:8]
+        except OSError:
+            pass
     return tag
 
 

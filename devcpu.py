@@ -13,7 +13,13 @@ jax.config.update("jax_enable_x64", True)
 import os as _os
 from cctpu import _host_fingerprint  # noqa: E402
 
+_boot = ""
+try:
+    with open("/proc/sys/kernel/random/boot_id") as _f:
+        _boot = "_" + _f.read().strip()[:8]
+except OSError:
+    pass
 _cpu_cache = _os.path.expanduser(
-    "~/.cache/cctpu_jax_cpu_" + _host_fingerprint())
+    "~/.cache/cctpu_jax_cpu_" + _host_fingerprint() + _boot)
 _os.makedirs(_cpu_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cpu_cache)

@@ -16,12 +16,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# CPU-only compile cache, keyed by host fingerprint (AOT entries written on
-# a different machine — axon remote or another host CPU — can SIGILL/SIGSEGV
-# on load)
+# CPU-only compile cache, keyed by host fingerprint + boot id (AOT entries
+# written on a different machine — axon remote or another physical host
+# behind the same virtualized cpuinfo — can SIGILL/SIGSEGV on load)
 from cctpu import _host_fingerprint  # noqa: E402
 
+_boot = ""
+try:
+    with open("/proc/sys/kernel/random/boot_id") as _f:
+        _boot = "_" + _f.read().strip()[:8]
+except OSError:
+    pass
 _cpu_cache = os.path.expanduser(
-    "~/.cache/cctpu_jax_cpu_" + _host_fingerprint())
+    "~/.cache/cctpu_jax_cpu_" + _host_fingerprint() + _boot)
 os.makedirs(_cpu_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cpu_cache)
