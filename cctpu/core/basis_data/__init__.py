@@ -22,9 +22,22 @@ from cctpu.core.basis_data.pople import POPLE_SETS
 from cctpu.core.basis_data.dunning import CCPVDZ_NWCHEM
 
 
+# User-registered basis sets (NWChem-format text), consulted before the
+# embedded tables — the analog of PySCF's `basis={'X': gto.parse(...)}`
+# custom-basis input, exercised by scripts/derive_basis.py.
+_CUSTOM = {}
+
+
+def register_custom_basis(name: str, text: str) -> None:
+    """Register (or override) a basis set by name with NWChem-format text."""
+    _CUSTOM[name.lower().replace(" ", "")] = text
+
+
 def get_basis_text(name: str) -> str:
     """Return NWChem-format text for a named basis set."""
     key = name.lower().replace(" ", "")
+    if key in _CUSTOM:
+        return _CUSTOM[key]
     aliases = {
         "sto-3g": "sto-3g", "sto3g": "sto-3g",
         "6-31g": "6-31g", "631g": "6-31g",

@@ -1,6 +1,7 @@
 """Embedded basis-set data: parse, AO counts, minao guess coverage."""
 
 import numpy as np
+import pytest
 
 from cctpu.core.basis_data import get_basis_text
 from cctpu.core.basis import parse_nwchem
@@ -69,3 +70,50 @@ def test_def2_tzvp_fallback_enriched_to_2d1f():
     # documented ratios from 6-31G* a_d(S)=0.65: ~(0.156, 0.481)
     assert abs(d_exps[0] - 0.24 * 0.65) < 1e-6
     assert abs(d_exps[1] - 0.74 * 0.65) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Atomic-energy pins for the embedded published tables: the ground-state
+# atomic UHF energy in a TZ-grade basis must land a few-to-tens of mHa ABOVE
+# the Hartree-Fock limit (Koga/Clementi-Roetti). A single wrong digit in a
+# core exponent/coefficient shows up at >>50 mHa (or dips below the limit =>
+# non-variational integral bug), so these pins guard the whole data file.
+# ---------------------------------------------------------------------------
+
+HF_LIMIT = {"Na": -161.858911, "Mg": -199.614636, "Al": -241.876707,
+            "Si": -288.854362, "P": -340.718780, "S": -397.504896,
+            "Cl": -459.482072, "Ar": -526.817512}
+ATOM_SPIN = {"Na": 1, "Mg": 0, "Al": 1, "Si": 2, "P": 3, "S": 2, "Cl": 1,
+             "Ar": 0}
+# measured with this engine at conv_tol 1e-8 (scripts note in pople.py);
+# includes the single-d polarization shell (UHF lets open shells use it)
+MEASURED_6311GSS = {"Na": -161.845926, "Mg": -199.606556, "Al": -241.868538,
+                    "Si": -288.850347, "P": -340.707334, "S": -397.498338,
+                    "Cl": -459.473065, "Ar": -526.806626}
+
+
+def _atom_uhf_energy(el, basis):
+    from cctpu.scf.hf import RHF, UHF
+    mol = Molecule.from_atoms(f"{el} 0 0 0", spin=ATOM_SPIN[el], basis=basis)
+    cls = RHF if ATOM_SPIN[el] == 0 else UHF
+    mf = cls(mol, max_cycle=80, conv_tol=1e-8)
+    e = mf.kernel()
+    assert mf.converged
+    return float(e)
+
+
+def test_6311gss_sulfur_chlorine_atomic_energies():
+    """S and Cl (the drug-molecule heavy atoms the reference NMR protocol
+    needs, templates/calculate_nmr.py:290-291) at their exact pins."""
+    for el in ("S", "Cl"):
+        e = _atom_uhf_energy(el, "6-311g**")
+        assert abs(e - MEASURED_6311GSS[el]) < 5e-6, (el, e)
+        assert 0 < e - HF_LIMIT[el] < 0.020, (el, e)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("el", sorted(HF_LIMIT))
+def test_6311gss_second_row_atomic_energies(el):
+    e = _atom_uhf_energy(el, "6-311g**")
+    assert abs(e - MEASURED_6311GSS[el]) < 5e-6, e
+    assert 0 < e - HF_LIMIT[el] < 0.020, e
