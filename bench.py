@@ -55,6 +55,15 @@ def _log(msg):
           flush=True)
 
 
+def _hbm() -> float:
+    """Device HBM capacity in bytes (v5e ~16e9, v5p ~95e9)."""
+    import jax
+    try:
+        return float(jax.devices()[0].memory_stats()["bytes_limit"])
+    except Exception:
+        return 16e9
+
+
 # Host-f64 oracle for the solved phenol stage (CPU, conv_tol 1e-10,
 # grid_level 2, DF-B3LYP/6-31G*): the device-achieved |dE| against it is
 # the demonstrable accuracy of the mixed-precision path (round-1 VERDICT
@@ -73,6 +82,13 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
 
     mol = Molecule.from_atoms(atoms, basis=basis)
     _log(f"{name}: nao={mol.nao} building DF + grids")
+    from cctpu.ints.df import autoaux
+    naux_est = autoaux(mol.basis_set).nao
+    need = 4.0 * naux_est * mol.nao * mol.nao          # f32 B bytes
+    if need > 0.6 * _hbm():
+        raise RuntimeError(
+            f"skipped: f32 B ({need / 1e9:.1f} GB, naux={naux_est}) "
+            f"exceeds device HBM ({_hbm() / 1e9:.0f} GB) — stage needs v5p")
     # conv_tol 1e-7: the v5e f64 emulation (float32 pairs) has a ~1e-9
     # RELATIVE noise floor on dE (~3e-7 Ha at |E|~300), so 1e-8 absolute
     # is unreachable at phenol scale; mixed precision = f32 MXU-native
@@ -122,7 +138,10 @@ def run_config(name, atoms, basis, grid_level, max_cycle=45, n_timed=8,
         per_iter = (time.time() - t0) / n_timed
 
     per_iter64 = None
-    if left() > 4 * per_iter * n_timed + 120:
+    # skip the f64 comparison when forming the f64 B would blow HBM
+    # (astype doubles the resident bytes; the f32 metric is the product)
+    b_bytes = 8 * mf._jk.aux.nao * mol.nao * mol.nao
+    if left() > 4 * per_iter * n_timed + 120 and b_bytes < 0.45 * _hbm():
         X = _orthogonalizer(S)
         step64 = mf._jit_step(H, S, X)
         c64 = mf._step_consts(jnp.float64)
@@ -176,6 +195,10 @@ def main():
         # nao=580/naux~2500: f64 B (6.7 GB) + f32 cast still fit v5e HBM;
         # C40 (13 GB f64 B) does not
         ("c32h66_631gs", alkane(32), "6-31g*", 0.92, False),
+        # the BASELINE.json north-star size (40 heavy atoms ~ the 50-atom
+        # target class) — its f32 B needs more HBM than v5e's 16 GB, so
+        # this stage self-gates on device capacity (runs on v5p)
+        ("c40h82_631gs", alkane(40), "6-31g*", 0.96, False),
     ]
     result = None
 

@@ -69,6 +69,43 @@ try:
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 
+
+def _seed_cache():
+    """Populate a cold TPU compile cache from the repo-committed seed.
+
+    This deployment boots a fresh VM per round, so ~/.cache never survives
+    a round boundary — measured: a cold boot pays ~10-20 s of *serialized
+    remote* compile latency per kernel via the axon tunnel, >20 min for the
+    bench's 6-31G* integral-class family alone (the round-1 bench died to
+    exactly this). TPU-target entries carry no host codegen and the axon
+    platform_version is a stable build string, so they ARE shareable across
+    boots — the expensive ones are committed as scripts/cache_seed.tar.gz
+    and unpacked once per boot here. (XLA:CPU entries are NOT seedable —
+    see _host_fingerprint.)
+    """
+    if "_axon" not in _cache_dir and "_tpu" not in _cache_dir:
+        return                       # CPU-target caches must stay per-boot
+    seed = _os.path.join(_os.path.dirname(__file__), "..", "scripts",
+                         "cache_seed.tar.gz")
+    stamp = _os.path.join(_cache_dir, ".seeded")
+    if not _os.path.exists(seed) or _os.path.exists(stamp):
+        return
+    import subprocess
+    try:
+        subprocess.run(["tar", "-xzf", seed, "-C", _cache_dir],
+                       check=True, timeout=300,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        with open(stamp, "w") as f:
+            f.write("ok\n")
+    except Exception:  # pragma: no cover - seed is best-effort
+        pass
+
+
+try:
+    _seed_cache()
+except Exception:  # pragma: no cover
+    pass
+
 __version__ = "0.1.0"
 
 from cctpu.core.molecule import Molecule  # noqa: E402,F401

@@ -736,6 +736,9 @@ class _BContractions:
     # remote-compile request (HTTP 413), and it keys the compile cache on the
     # geometry so every new geometry recompiles the step.
     _consts_override = None
+    # set by parallel/shard_jk.shard_jk_over_aux: B's aux axis lives
+    # sharded over this mesh (multi-chip single-molecule scale-out)
+    _aux_mesh = None
 
     def prepare_dtype(self, dtype):
         """Eagerly cache the cast B (must run OUTSIDE any jit trace —
@@ -776,8 +779,13 @@ class _BContractions:
             return cached
         return self.B.astype(dtype)   # inside-trace: constant-folded
 
-    @staticmethod
-    def _use_pallas(dtype) -> bool:
+    def _use_pallas(self, dtype) -> bool:
+        # a pallas_call cannot be partitioned by GSPMD: with an
+        # aux-sharded B the einsum path (per-device partials + psum)
+        # is the multi-chip fast path, so the single-chip kernels are
+        # bypassed while sharded
+        if self._aux_mesh is not None:
+            return False
         from cctpu.ops.df_jk_pallas import _on_tpu
         return dtype == jnp.float32 and _on_tpu()
 

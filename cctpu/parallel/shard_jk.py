@@ -26,19 +26,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def shard_jk_over_aux(jk, mesh: Mesh, axis: str = "task"):
-    """Reshard a DFJK/CholeskyJK builder's B tensor over the mesh axis
-    (padding naux to divisibility). Subsequent __call__/_k_of contractions
-    run as sharded matmuls with XLA-inserted all-reduces."""
+    """Reshard a DFJK/CholeskyJK builder's factor tensors over the mesh
+    axis (padding naux to divisibility; zero rows are no-ops in every
+    B-contraction). Covers the whole mixed-precision surface — the f32
+    hot tensor ``_B32``, any already-formed f64 ``_B64``/``B``, and the
+    erf-attenuated LR variants — all resharded ON DEVICE (device_put of
+    live arrays; no host round-trip). Subsequent __call__/_k_of einsums
+    compile to per-device partial contractions + an XLA all-reduce; the
+    single-chip Pallas kernels are bypassed while sharded (``_use_pallas``
+    checks ``_aux_mesh``), since a pallas_call cannot be partitioned by
+    GSPMD and would force an all-gather of B."""
     ndev = mesh.shape[axis]
-    B = np.asarray(jk.B)
-    naux = B.shape[0]
-    npad = (-naux) % ndev
-    if npad:
-        B = np.concatenate([B, np.zeros((npad,) + B.shape[1:])], axis=0)
     sharding = NamedSharding(mesh, P(axis, None, None))
-    jk.B = jax.device_put(jnp.asarray(B), sharding)
-    if hasattr(jk, "_B_cast"):
-        del jk._B_cast
+
+    def place(B):
+        npad = (-B.shape[0]) % ndev
+        if npad:
+            B = jnp.concatenate(
+                [B, jnp.zeros((npad,) + B.shape[1:], B.dtype)], axis=0)
+        return jax.device_put(B, sharding)
+
+    jk._aux_sharding = sharding
+    if getattr(jk, "_B32", None) is not None:       # DFJK mixed-precision
+        jk._B32 = place(jk._B32)
+        if jk._B64 is not None:
+            jk._B64 = place(jk._B64)
+        # else: the lazy f64 B formed later as _B32.astype inherits the
+        # sharding (non-f64_exact); the f64_exact whiten path yields a
+        # replicated B64 — correct, just not memory-scaled
+    else:                                           # CholeskyJK: plain B
+        jk.B = place(jk.B)
+    for om, b in list(getattr(jk, "_B_lr", {}).items()):
+        jk._B_lr[om] = place(b)
+    for attr in ("_B_cast", "_B_lr_cast"):
+        if hasattr(jk, attr):
+            delattr(jk, attr)
     jk._aux_mesh = mesh
     return jk
 

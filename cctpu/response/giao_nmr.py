@@ -18,9 +18,12 @@ antisymmetric. With AO centers R_mu and eps the Levi-Civita tensor,
   G1[a](D)     = gw(mJ)[a] - (ax/2) Kg[a](D) - (beta/2) Kg_lr[a](D)
                  + gw(mXC)[a]                              (2e skeleton)
 
-covering RHF/RKS with LDA/GGA/global-hybrid AND range-separated-hybrid
-functionals (the LR exchange skeleton uses erf-attenuated moment ERIs and
-an attenuated DF metric); meta-GGA and open shells fall back to CGO.
+covering RHF/RKS with LDA/GGA/global-hybrid, range-separated-hybrid
+(erf-attenuated LR exchange skeleton over moment ERIs / attenuated DF
+metric) AND meta-GGA functionals (tau enters the moment-weighted skeleton
+with the SCF's own convention; its gauge correction is omitted, the
+standard pragmatic scheme). Open-shell references go through the
+spin-resolved path below (UHF/UKS).
 
 CPHF (derived from the first-order Fock equations; the operator is the
 TDDFT (A-B) matvec because only exact exchange couples to imaginary
@@ -71,10 +74,6 @@ class GIAONMR:
         self.mf = mf
         self.shielding = None
         func = getattr(mf, "func", None)
-        if func is not None and func.xctype == "MGGA":
-            raise NotImplementedError(
-                "GIAO NMR for meta-GGA functionals is not defined here; "
-                "use the CGO NMR class")
         self._rsh = None if func is None else func.rsh
 
     # -- 2e skeleton ---------------------------------------------------------
@@ -251,8 +250,25 @@ class GIAONMR:
                 ga.append(g)
             ga = jnp.stack(ga, -1)
             saa = jnp.einsum("pd,pd->p", ga, ga)
-            e = func.exc(ra, ra, saa, saa, saa,
-                         jnp.zeros_like(ra), jnp.zeros_like(ra))
+            if func.xctype == "MGGA":
+                # tau with the moment probe entering as dm does (same
+                # 0.25*phi' D phi' convention as rks._chunk_exc_from_ao);
+                # the tau gauge correction itself is omitted -- the
+                # standard pragmatic GIAO meta-GGA scheme (tau is not
+                # gauge-invariant; cf. Maximoff-Scuseria), matching common
+                # production defaults
+                ta = 0.5 * sum(
+                    jnp.einsum("pi,pi->p", ao[1 + d],
+                               jnp.einsum("ij,pj->pi", Dh, ao[1 + d]))
+                    for d in range(3))
+                Tc = 0.5 * sum(
+                    jnp.einsum("pi,cpi->cp", ao[1 + d],
+                               jnp.einsum("cij,pj->cpi", Dmh, ao[1 + d]))
+                    for d in range(3))
+                ta = ta + jnp.einsum("cp,cp->p", rc, Tc)
+            else:
+                ta = jnp.zeros_like(ra)
+            e = func.exc(ra, ra, saa, saa, saa, ta, ta)
             return jnp.sum(w * e)
 
         def total(dmm):
@@ -303,8 +319,26 @@ class GIAONMR:
             saa = jnp.einsum("pd,pd->p", grad_[0], grad_[0])
             sab = jnp.einsum("pd,pd->p", grad_[0], grad_[1])
             sbb = jnp.einsum("pd,pd->p", grad_[1], grad_[1])
-            z = jnp.zeros_like(rho[0])
-            e = func.exc(rho[0], rho[1], saa, sab, sbb, z, z)
+            if func.xctype == "MGGA":
+                # per-spin tau + moment probe (gauge correction to tau
+                # omitted -- see _skeleton_xc)
+                taus = []
+                for s in range(2):
+                    t = 0.5 * sum(
+                        jnp.einsum("pi,pi->p", ao[1 + d],
+                                   jnp.einsum("ij,pj->pi", dms[s],
+                                              ao[1 + d]))
+                        for d in range(3))
+                    Tc = 0.5 * sum(
+                        jnp.einsum("pi,cpi->cp", ao[1 + d],
+                                   jnp.einsum("cij,pj->cpi", dmm[s],
+                                              ao[1 + d]))
+                        for d in range(3))
+                    taus.append(t + jnp.einsum("cp,cp->p", rc, Tc))
+                ta, tb = taus
+            else:
+                ta = tb = jnp.zeros_like(rho[0])
+            e = func.exc(rho[0], rho[1], saa, sab, sbb, ta, tb)
             return jnp.sum(w * e)
 
         def total(dmm):
@@ -524,7 +558,8 @@ class GIAONMR:
 
 def make_nmr(mf, log=None):
     """GIAO NMR when supported (the pyscf.prop.nmr parity path), else the
-    common-gauge-origin fallback (meta-GGA / open-shell)."""
+    common-gauge-origin fallback (reached only for references outside the
+    GIAO surface, e.g. ROHF)."""
     try:
         return GIAONMR(mf)
     except NotImplementedError as exc:

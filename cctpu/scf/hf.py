@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import os
 import time
 from typing import Callable, Optional, Tuple
 
@@ -196,6 +197,11 @@ def _fock_eig(F, X):
     return e, X @ Cp
 
 
+# auto-shard threshold for SCFOptions.shard_aux=None: f32 B bytes above
+# which a multi-device backend spreads the DF tensor over the mesh
+_SHARD_AUX_BYTES = float(os.environ.get("CCTPU_SHARD_AUX_BYTES", 2e8))
+
+
 @dataclasses.dataclass
 class SCFOptions:
     conv_tol: float = 1e-10
@@ -209,6 +215,12 @@ class SCFOptions:
     # 'f64' | 'mixed' (f32 iterations + f64 polish — the fast TPU mode;
     # native-f32 MXU math instead of emulated float32-pair f64) | 'f32'
     precision: str = "f64"
+    # multi-device DF scale-out: shard the B tensor over the aux axis
+    # (per-device partial J/K + ICI all-reduce). True = always,
+    # False = never, None = auto (shard when f32 B exceeds
+    # _SHARD_AUX_BYTES — big molecules scale out, small tests/tasks stay
+    # single-device/Pallas)
+    shard_aux: Optional[bool] = None
 
 
 class SCFBase:
@@ -255,6 +267,23 @@ class SCFBase:
                 self._jk = DFJK(self.mol, self.coords)
             else:
                 self._jk = IncoreJK(self.mol, self.coords)
+            # production multi-chip path (SURVEY §2.4 TP analog): on a
+            # multi-device backend, shard B over the aux axis so every
+            # J/K build runs as per-device partial contractions + an ICI
+            # all-reduce — no call-site changes (GSPMD inserts the psum).
+            # Exercised on the virtual 8-CPU mesh in tests/test_parallel
+            # and by __graft_entry__.dryrun_multichip.
+            want = self.opts.shard_aux
+            if (want is not False and self.density_fit
+                    and len(jax.devices()) > 1):
+                nao = self.mol.nao
+                naux = (self._jk.aux.nao if hasattr(self._jk, "aux")
+                        else self._jk.B.shape[0])
+                if want or 4 * naux * nao * nao > _SHARD_AUX_BYTES:
+                    from jax.sharding import Mesh
+                    from cctpu.parallel.shard_jk import shard_jk_over_aux
+                    mesh = Mesh(np.array(jax.devices()), ("task",))
+                    shard_jk_over_aux(self._jk, mesh)
         return self._jk
 
     # -- model-specific pieces (overridden by RKS/UKS) ------------------------
