@@ -83,12 +83,21 @@ def _seed_cache():
     and unpacked once per boot here. (XLA:CPU entries are NOT seedable —
     see _host_fingerprint.)
     """
-    if "_axon" not in _cache_dir and "_tpu" not in _cache_dir:
+    # gate on the RESOLVED platform, not the cache-dir name: with
+    # CCTPU_JAX_CACHE set, or JAX_PLATFORMS unset on a real TPU VM, the
+    # dir name carries no platform tag
+    platforms = _os.environ.get("JAX_PLATFORMS", "")
+    if platforms and not ({"axon", "tpu"} & set(platforms.split(","))):
         return                       # CPU-target caches must stay per-boot
     seed = _os.path.join(_os.path.dirname(__file__), "..", "scripts",
                          "cache_seed.tar.gz")
     stamp = _os.path.join(_cache_dir, ".seeded")
-    if not _os.path.exists(seed) or _os.path.exists(stamp):
+    if _os.path.exists(stamp):
+        return
+    if not _os.path.exists(seed):
+        import sys
+        print(f"# cctpu: TPU compile cache {_cache_dir} boots cold "
+              f"(no seed at {seed})", file=sys.stderr, flush=True)
         return
     import subprocess
     try:

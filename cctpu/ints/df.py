@@ -340,48 +340,68 @@ def build_2c2e_device(aux: BasisSet, coords,
     return out[:naux, :naux]
 
 
-@lru_cache(maxsize=None)
-def _chol_inv_fn(n_pad):
-    """jit'ed ridged-Cholesky whitening on a bucket-padded metric (padding
-    block = identity, so the factor is block-diagonal and the top-left
-    block is exactly the unpadded result). Bucketing naux to multiples of
-    512 means the expensive remote compile is shared by every molecule in
-    the bucket."""
-    def fn(M_pad, ridge):
-        n = M_pad.shape[0]
-        L = jnp.linalg.cholesky(M_pad + ridge * jnp.eye(n))
-        eye = jnp.eye(n, dtype=M_pad.dtype)
-        Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True,
-                                               lower=True)
-        return L[-1, -1], Linv
-
-    return jax.jit(fn)
+# naux above which the host whitening switches from eigh (O(9 n^3)) to
+# pivoted-Cholesky subset selection (O(n^3/3)); both are exact-f64 host
+# paths, the subset path additionally SHRINKS B to the kept rank.
+_EIGH_NAUX_MAX = int(os.environ.get("CCTPU_METRIC_EIGH_MAX", 3072))
 
 
-def metric_factor(M, rcond: float = 1e-12):
-    """Whitening factor Linv of the Coulomb metric: M^{-1} = Linv^T Linv.
+def metric_factor(M, rcond: float = 1e-11, method: str = "auto"):
+    """Whitening factor Linv of the Coulomb metric, HOST f64 always:
+    M^{+} = Linv^T Linv (pseudo-inverse on the well-conditioned subspace).
+    Linv may be RECTANGULAR [nkeep, naux] — near-null directions are
+    dropped, so the whitened B shrinks to nkeep rows.
 
-    Fast path: device f64 Cholesky of the lightly-ridged metric + a
-    triangular inverse (both O(naux^3), fine under TPU's emulated f64).
-    Fallback for a near-linearly-dependent autoaux metric where Cholesky
-    breaks down (e.g. the erf-attenuated RSH metric): host
-    eigendecomposition with spectral filtering at ``rcond``, Linv :=
-    pinv-sqrt (same contraction contract: M^{-1} = Linv^T Linv)."""
-    M = jnp.asarray(M)
-    naux = M.shape[0]
-    n_pad = -(-naux // 512) * 512
-    dmax = float(jnp.max(jnp.diagonal(M)))
-    M_pad = jnp.zeros((n_pad, n_pad), M.dtype).at[:naux, :naux].set(M)
-    M_pad = M_pad.at[jnp.arange(naux, n_pad),
-                     jnp.arange(naux, n_pad)].set(1.0 - rcond * dmax)
-    corner, Linv = _chol_inv_fn(n_pad)(M_pad,
-                                       jnp.asarray(rcond * dmax, M.dtype))
-    if bool(jnp.isnan(corner)):
-        w, V = np.linalg.eigh(np.asarray(M))
-        keep = w > rcond * w.max()
-        inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
-        return jnp.asarray((V * inv_sqrt[None, :]).T)
-    return Linv[:naux, :naux]
+    Why host: the autoaux metric is severely ill-conditioned (phenol
+    6-31G*: cond ~5e10 with ~24 eigenvalues under 1e-9*max). Under the
+    TPU's EMULATED f64 (~1e-9 relative noise, ~50x the smallest
+    eigenvalue here) any on-device factorization silently corrupts the
+    near-null subspace WITHOUT producing NaNs — round 2 shipped exactly
+    that bug (device B3LYP energy off by 0.074 Ha, BENCH_r02). The metric
+    is only O(naux^2) bytes (25 MB at phenol), so the host round trip is
+    trivially cheap next to the 3c2e build; the factorization itself runs
+    in true hardware f64.
+
+    Both paths filter on the diagonally-preconditioned metric
+    M' = D^{-1/2} M D^{-1/2}, D = diag(M) — scale-invariant across the
+    ~6-orders spread between steep core and diffuse valence aux functions:
+
+    - ``eigh`` (default for naux <= _EIGH_NAUX_MAX): spectral-filtered
+      pinv-sqrt, keep eigenvalues > rcond * max.
+    - ``pivot`` (larger systems): LAPACK dpstrf pivoted Cholesky SELECTS
+      a well-conditioned aux subset (rank r where the Schur-complement
+      diagonal falls below rcond), then whitens exactly on that subset —
+      ~27x fewer host flops than eigh and B shrinks to r rows.
+    """
+    Mh = np.asarray(M, dtype=np.float64)
+    naux = Mh.shape[0]
+    d = np.sqrt(np.clip(np.diagonal(Mh).copy(), 1e-300, None))
+    Mp = Mh / d[:, None] / d[None, :]
+    if method == "auto":
+        method = "eigh" if naux <= _EIGH_NAUX_MAX else "pivot"
+    if method == "pivot":
+        from scipy.linalg import solve_triangular
+        from scipy.linalg.lapack import dpstrf
+        _, piv, rank, info = dpstrf(Mp, tol=rcond, lower=1)
+        if info >= 0 and 0 < rank <= naux:
+            piv = np.asarray(piv[:rank]) - 1          # LAPACK is 1-based
+            Msub = Mp[np.ix_(piv, piv)]
+            try:
+                L = np.linalg.cholesky(Msub)
+            except np.linalg.LinAlgError:
+                L = None                # kept subset still too dependent
+            if L is not None:
+                Linv_sub = solve_triangular(L, np.eye(rank), lower=True,
+                                            check_finite=False)
+                Linv = np.zeros((rank, naux))
+                Linv[:, piv] = Linv_sub
+                return jnp.asarray(Linv / d[None, :])
+        # dpstrf/Cholesky breakdown (shouldn't happen for PSD) -> eigh
+    w, V = np.linalg.eigh(Mp)
+    keep = w > rcond * w[-1]
+    inv_sqrt = 1.0 / np.sqrt(w[keep])
+    Linv = (V[:, keep] * inv_sqrt[None, :]).T
+    return jnp.asarray(Linv / d[None, :])
 
 
 def build_3c2e(basis: BasisSet, aux: BasisSet, coords,
@@ -883,7 +903,9 @@ def _whiten_fn(dtype_name):
         naux = X.shape[0]
         with jax.default_matmul_precision("highest"):
             B = Linv.astype(dtype) @ X.reshape(naux, -1).astype(dtype)
-        return B.reshape(X.shape)
+        # Linv is rectangular [nkeep, naux] (metric_factor drops the
+        # metric's near-null directions), so B has nkeep rows
+        return B.reshape((Linv.shape[0],) + X.shape[1:])
 
     return jax.jit(fn)
 
@@ -895,10 +917,12 @@ class DFJK(_BContractions):
       J(D)  = einsum('pij,ij->p', B, D) contracted back,
       K(D)  = einsum('pik,kl,pjl->ij', B, D, B).
 
-    Round-2 build pipeline (all device-resident — round 1 shipped every
+    Build pipeline (integrals device-resident — round 1 shipped every
     integral block host-side over a ~30 MB/s link, 318 s at phenol):
       1. (P|Q) and (P|ab) assembled on device (build_*_device),
-      2. Linv from a device f64 Cholesky (metric_factor),
+      2. Linv from a HOST true-f64 factorization (metric_factor — the
+         device's emulated f64 cannot factor the cond~5e10 autoaux
+         metric; round-2 postmortem),
       3. the f32 hot-loop tensor B32 = Linv @ X as ONE MXU matmul,
       4. the f64 B formed LAZILY (first `.B` access) — emulated-f64
          matmuls run ~70x slower than f32, so pure-f32 consumers (the
@@ -934,7 +958,18 @@ class DFJK(_BContractions):
                 self._B64 = _whiten_fn("float64")(self._Linv, self._X)
             else:
                 self._B64 = self._B32.astype(jnp.float64)
+            self._B64 = self._place_aux(self._B64)
         return self._B64
+
+    def _place_aux(self, B):
+        """If shard_jk_over_aux already ran, lazily-formed factor tensors
+        must land on the mesh too (memory scaling for tensors as large as
+        B itself — B_lr, the f64 B)."""
+        sh = getattr(self, "_aux_sharding", None)
+        if sh is None:
+            return B
+        from cctpu.parallel.shard_jk import place_aux
+        return place_aux(B, sharding=sh, ndev=self._aux_ndev)
 
     @B.setter
     def B(self, value):      # parallel/shard_jk.py re-places B on a mesh
@@ -997,4 +1032,5 @@ class DFJK(_BContractions):
                                   omega=omega, dtype=xdt)
             M = build_2c2e_device(self.aux, self._coords, omega=omega)
             Linv = metric_factor(M, rcond=1e-10)
-            self._B_lr[omega] = _whiten_fn(jnp.dtype(xdt).name)(Linv, X)
+            self._B_lr[omega] = self._place_aux(
+                _whiten_fn(jnp.dtype(xdt).name)(Linv, X))

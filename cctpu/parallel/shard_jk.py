@@ -25,6 +25,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def place_aux(B, sharding, ndev: int):
+    """Pad B's aux axis to divisibility and place it with ``sharding``
+    (zero rows are no-ops in every B-contraction)."""
+    npad = (-B.shape[0]) % ndev
+    if npad:
+        B = jnp.concatenate(
+            [B, jnp.zeros((npad,) + B.shape[1:], B.dtype)], axis=0)
+    return jax.device_put(B, sharding)
+
+
 def shard_jk_over_aux(jk, mesh: Mesh, axis: str = "task"):
     """Reshard a DFJK/CholeskyJK builder's factor tensors over the mesh
     axis (padding naux to divisibility; zero rows are no-ops in every
@@ -38,22 +48,18 @@ def shard_jk_over_aux(jk, mesh: Mesh, axis: str = "task"):
     GSPMD and would force an all-gather of B."""
     ndev = mesh.shape[axis]
     sharding = NamedSharding(mesh, P(axis, None, None))
+    place = partial(place_aux, sharding=sharding, ndev=ndev)
 
-    def place(B):
-        npad = (-B.shape[0]) % ndev
-        if npad:
-            B = jnp.concatenate(
-                [B, jnp.zeros((npad,) + B.shape[1:], B.dtype)], axis=0)
-        return jax.device_put(B, sharding)
-
+    # tensors formed lazily AFTER this call (LR variants via _ensure_lr,
+    # the lazy f64 B) consult these to self-place on the mesh
     jk._aux_sharding = sharding
+    jk._aux_ndev = ndev
     if getattr(jk, "_B32", None) is not None:       # DFJK mixed-precision
         jk._B32 = place(jk._B32)
         if jk._B64 is not None:
             jk._B64 = place(jk._B64)
-        # else: the lazy f64 B formed later as _B32.astype inherits the
-        # sharding (non-f64_exact); the f64_exact whiten path yields a
-        # replicated B64 — correct, just not memory-scaled
+        # else: the lazy f64 B self-places on first access
+        # (DFJK._place_aux reads _aux_sharding/_aux_ndev)
     else:                                           # CholeskyJK: plain B
         jk.B = place(jk.B)
     for om, b in list(getattr(jk, "_B_lr", {}).items()):

@@ -201,6 +201,17 @@ def _fock_eig(F, X):
 # which a multi-device backend spreads the DF tensor over the mesh
 _SHARD_AUX_BYTES = float(os.environ.get("CCTPU_SHARD_AUX_BYTES", 2e8))
 
+# dense f32 B bytes above which density_fit=True switches to the
+# pair-compressed builder (v5e HBM is 16 GB; leave room for the f64 X,
+# grids, DIIS, and the SCF step workspaces)
+_DENSE_DF_MAX_BYTES = float(os.environ.get("CCTPU_DENSE_DF_MAX", 6e9))
+
+
+def _dense_df_too_big(mol) -> bool:
+    from cctpu.ints.df import autoaux
+    naux = autoaux(mol.basis_set).nao
+    return 4.0 * naux * mol.nao * mol.nao > _DENSE_DF_MAX_BYTES
+
 
 @dataclasses.dataclass
 class SCFOptions:
@@ -262,6 +273,12 @@ class SCFBase:
                 # the decomposition tol (the 1e-8 accuracy contract)
                 from cctpu.ints.df import CholeskyJK
                 self._jk = CholeskyJK(self.mol, self.coords)
+            elif self.density_fit == "compressed" or (
+                    self.density_fit and _dense_df_too_big(self.mol)):
+                # north-star sizes: dense f32 B would not fit HBM — use
+                # the Schwarz-compressed pair axis (ints/df_compressed.py)
+                from cctpu.ints.df_compressed import CompressedDFJK
+                self._jk = CompressedDFJK(self.mol, self.coords)
             elif self.density_fit:
                 from cctpu.ints.df import DFJK
                 self._jk = DFJK(self.mol, self.coords)
@@ -275,6 +292,7 @@ class SCFBase:
             # and by __graft_entry__.dryrun_multichip.
             want = self.opts.shard_aux
             if (want is not False and self.density_fit
+                    and getattr(self._jk, "supports_aux_sharding", True)
                     and len(jax.devices()) > 1):
                 nao = self.mol.nao
                 naux = (self._jk.aux.nao if hasattr(self._jk, "aux")
