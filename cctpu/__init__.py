@@ -19,6 +19,17 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Matmul precision must default to "highest" package-wide. Measured on the
+# axon TPU (scripts/micro_probe.py P4/P4b): a float64 jnp.dot at DEFAULT
+# precision returns bf16-grade results (2.6e-3 relative error — the MXU
+# single-pass path), while "highest" gives f32-grade (1.7e-7). True f64
+# matmul does not exist on this device, so any contraction that silently
+# hits the MXU at default precision corrupts chemistry (round-3 postmortem:
+# the DF metric assembled through lax.map'ed kernels was wrong by 1e-2
+# relative, -> 0.07 Ha SCF error). Hot f32 paths that can afford lower
+# precision must request it explicitly.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the integral kernels are compiled per
 # (angular-momentum class, padded primitive width, chunk size) — all static
 # across molecules/geometries — so warm runs skip XLA compilation entirely.

@@ -292,6 +292,135 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
     return out[:naux, :nao, :nao]
 
 
+def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
+                            omega: Optional[float] = None,
+                            screen_tol: float = 1e-12,
+                            dtype=jnp.float64, verbose: bool = False):
+    """(P|ab) via super-batched device KERNELS + HOST numpy assembly.
+
+    Round-3 finding (scripts/isolate_device_build.py on the axon TPU):
+    the fully device-resident assembly (build_*_device) produces values
+    wrong by ~1% of scale on the experimental axon platform, while the
+    same quartet kernels with host-side assembly are correct (round 1
+    shipped that way at 4.5e-5 |dE|). This builder keeps the few-dispatch
+    super-batch kernel structure (compile-cache-friendly, ~1 dispatch per
+    65k quartets vs round 1's per-chunk dispatches) but pulls each
+    super-batch to the host and scatters in numpy. Extra cost: one
+    X-sized device->host transfer + one host->device upload.
+    """
+    from cctpu.ints.two_electron import schwarz_q
+
+    coords = jnp.asarray(coords)
+    naux, nao = aux.nao, basis.nao
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    out = np.zeros((naux, nao, nao), dtype=np_dt)
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    pcs = pair_classes(basis)
+    qs = schwarz_q(pcs, coords) if screen_tol > 0 else None
+    q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
+    dtn = jnp.dtype(dtype).name
+
+    if verbose:
+        import sys
+        import time as _t
+    for lP in sorted(aux.groups):
+        gP = aux.groups[lP]
+        nP = len(gP.shell_idx)
+        sP = nsph(lP)
+        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
+        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
+        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
+        for ipc, pc in enumerate(pcs):
+            pair_sel = np.arange(pc.n, dtype=np.int64)
+            if qs is not None:
+                pair_sel = pair_sel[qs[ipc] * q_aux_max > screen_tol]
+                if len(pair_sel) == 0:
+                    continue
+            ls = (lP, 0, pc.la, pc.lb)
+            kern = _class_batch_fn(ls, omega, dtn, False)
+            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
+            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
+            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
+            Be = jnp.asarray(_pow2_rows(pc.exps_b))
+            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
+            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
+            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
+            q1 = q1.ravel()
+            q2 = pair_sel[q2.ravel()]
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+            sa, sb = nsph(pc.la), nsph(pc.lb)
+            if verbose:
+                _tk = _t.time()
+            pending = []
+            for i1, i2, padm in _superbatches(q1, q2, chunk):
+                blocks_dev = kern(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz,
+                                  Be, Bc, Bxyz, jnp.asarray(i1),
+                                  jnp.asarray(i2))
+                pending.append((blocks_dev, i1.ravel(), i2.ravel(), padm))
+            for blocks_dev, q1f, q2f, padm in pending:
+                blocks = np.asarray(blocks_dev)[~padm]
+                q1r, q2r = q1f[~padm], q2f[~padm]
+                P_idx = gP.ao_start[q1r][:, None] + np.arange(sP)
+                A_idx = pc.ao_a[q2r][:, None] + np.arange(sa)
+                B_idx = pc.ao_b[q2r][:, None] + np.arange(sb)
+                out[P_idx[:, :, None, None], A_idx[:, None, :, None],
+                    B_idx[:, None, None, :]] = blocks
+                out[P_idx[:, :, None, None], B_idx[:, None, :, None],
+                    A_idx[:, None, None, :]] = blocks.swapaxes(2, 3)
+            if verbose:
+                print(f"#   3c2e-h ls={ls} nq={len(q1)} chunk={chunk} "
+                      f"{_t.time() - _tk:.1f}s", file=sys.stderr, flush=True)
+    return jnp.asarray(out)
+
+
+def build_2c2e_hostassemble(aux: BasisSet, coords,
+                            omega: Optional[float] = None) -> jnp.ndarray:
+    """(P|Q) metric via super-batched device kernels + host assembly
+    (see build_3c2e_hostassemble for why)."""
+    coords = jnp.asarray(coords)
+    naux = aux.nao
+    out = np.zeros((naux, naux))
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    ls_sorted = sorted(aux.groups)
+    for i, lP in enumerate(ls_sorted):
+        gP = aux.groups[lP]
+        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
+        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
+        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
+        for lQ in ls_sorted[i:]:
+            gQ = aux.groups[lQ]
+            Qe = jnp.asarray(_pow2_rows(gQ.exps, floor=2048))
+            Qc = jnp.asarray(_pow2_rows(gQ.coefs, floor=2048))
+            Qxyz = coords[jnp.asarray(_pow2_rows(gQ.atom_idx, floor=2048))]
+            nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
+            q1, q2 = np.mgrid[0:nP, 0:nQ]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if lP == lQ:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+            ls = (lP, 0, lQ, 0)
+            kern = _class_batch_fn(ls, omega, "float64", True)
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 gQ.exps.shape[1], 1)
+            sP, sQ = nsph(lP), nsph(lQ)
+            for i1, i2, padm in _superbatches(q1, q2, chunk):
+                blocks = np.asarray(kern(Pe, Pc, Pxyz, de, dc, Qe, Qc,
+                                         Qxyz, de, dc, Qxyz,
+                                         jnp.asarray(i1),
+                                         jnp.asarray(i2)))[~padm]
+                q1r = i1.ravel()[~padm]
+                q2r = i2.ravel()[~padm]
+                P_idx = gP.ao_start[q1r][:, None] + np.arange(sP)
+                Q_idx = gQ.ao_start[q2r][:, None] + np.arange(sQ)
+                out[P_idx[:, :, None], Q_idx[:, None, :]] = blocks
+                out[Q_idx[:, :, None], P_idx[:, None, :]] = \
+                    blocks.swapaxes(1, 2)
+    return jnp.asarray(out)
+
+
 def build_2c2e_device(aux: BasisSet, coords,
                       omega: Optional[float] = None,
                       dtype=jnp.float64):

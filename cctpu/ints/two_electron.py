@@ -116,16 +116,25 @@ def eri_quartet_kernel(ls: Tuple[int, int, int, int],
     idx = jnp.asarray(_gather_idx(lab, lcd))           # [T1, T2]
     Rbig = Rb[:, :, idx]                               # [Kab, Kcd, T1, T2]
 
-    # Contract: out[ab, cd] = sum_{Kab,Kcd,T1,T2} Eb*Rbig*Ek
-    tmp = jnp.einsum("kqxy,qcy->kxc", Rbig, Ek)        # [Kab, T1, ncd]
-    cart = jnp.einsum("kax,kxc->ac", Eb, tmp)          # [nab, ncd]
+    # Contract: out[ab, cd] = sum_{Kab,Kcd,T1,T2} Eb*Rbig*Ek.
+    # precision is pinned HIGHEST here (independent of the global default):
+    # when the superbatch builders lax.map this kernel, XLA batches these
+    # einsums into MXU dots, and on the axon TPU a default-precision f64
+    # dot is only bf16-grade (micro_probe.py P4b) — that corrupted the
+    # whole DF stack in round 2.
+    _PH = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("kqxy,qcy->kxc", Rbig, Ek,
+                     precision=_PH)                    # [Kab, T1, ncd]
+    cart = jnp.einsum("kax,kxc->ac", Eb, tmp,
+                      precision=_PH)                   # [nab, ncd]
     cart = cart.reshape(ncart(la), ncart(lb), ncart(lc), ncart(ld))
 
     Ta = jnp.asarray(cart2sph(la))
     Tb = jnp.asarray(cart2sph(lb))
     Tc = jnp.asarray(cart2sph(lc))
     Td = jnp.asarray(cart2sph(ld))
-    out = jnp.einsum("pa,qb,rc,sd,abcd->pqrs", Ta, Tb, Tc, Td, cart)
+    out = jnp.einsum("pa,qb,rc,sd,abcd->pqrs", Ta, Tb, Tc, Td, cart,
+                     precision=_PH)
     return out
 
 

@@ -26,21 +26,55 @@ from cctpu.scf.diis import diis_init, diis_update
 from cctpu.scf.hf import _fock_eig, _orthogonalizer, occ_rhf
 
 
+def _df_jk_factory(basis, aux, Linv, coords):
+    """Traced DF J/K closure (and its factor B): B(R) = Linv0 @ X3(R)
+    with a HOST-computed whitening factor (the device must never factor
+    the ill-conditioned autoaux metric — round-2 postmortem,
+    ints/df.metric_factor). Fully differentiable w.r.t. coords through
+    the 3c2e integrals; the frozen metric makes E(R) a smooth frozen-fit
+    surface whose AD gradients / FD second derivatives are
+    self-consistent."""
+    from cctpu.ints.df import build_3c2e
+
+    naux = aux.nao
+    X3 = build_3c2e(basis, aux, coords)
+    B = (Linv @ X3.reshape(naux, -1)).reshape(
+        Linv.shape[0], X3.shape[1], X3.shape[2])
+
+    def jk(dm):
+        Jp = jnp.einsum("pij,ij->p", B, dm)
+        J = jnp.einsum("p,pij->ij", Jp, B)
+        K = jnp.einsum("pik,kl,pjl->ij", B, dm, B)
+        return J, K
+
+    return jk, B
+
+
 def _single_scf_with_grad(basis, charges, nelec, n_cycles, with_grad,
-                          coords, dm0):
+                          df_aux, coords, dm0, Linv=None,
+                          with_mp2: bool = False):
     """One RHF: fixed-cycle DIIS from dm0; returns
-    (e_tot, dm, grad, converged)."""
+    (e_tot, dm, grad, converged). df_aux: None for in-core nao^4 ERIs, or
+    an auxiliary BasisSet for the DF path (B = Linv @ 3c2e, O(naux*nao^2)
+    memory — lifts the in-core gate from FD-Hessian/BDE-tier batches,
+    VERDICT r2 next-round item #8). with_mp2 (requires df_aux): adds the
+    DF-MP2 correlation energy from the final MOs — makes the MP2
+    interaction scan batchable (VERDICT r2 missing #5; reference runs it
+    serially, templates/calculate_interaction.py:241-252)."""
     ints = build_int1e(basis, coords, charges)
     S = ints["S"]
     H = ints["T"] + ints["V"]
     X = _orthogonalizer(S)
-    eri = build_eri_traced(basis, coords)
-    e_nuc_fn = None
 
-    def jk(dm):
-        J = jnp.einsum("ijkl,kl->ij", eri, dm)
-        K = jnp.einsum("ikjl,kl->ij", eri, dm)
-        return J, K
+    if df_aux is not None:
+        jk, B_df = _df_jk_factory(basis, df_aux, Linv, coords)
+    else:
+        eri = build_eri_traced(basis, coords)
+
+        def jk(dm):
+            J = jnp.einsum("ijkl,kl->ij", eri, dm)
+            K = jnp.einsum("ikjl,kl->ij", eri, dm)
+            return J, K
 
     nao = S.shape[0]
     diis0 = diis_init(8, nao * nao)
@@ -78,6 +112,19 @@ def _single_scf_with_grad(basis, charges, nelec, n_cycles, with_grad,
     e_tot = es[-1] + e_nuc
     converged = (err_final < 1e-6) & (de_final < 1e-8)
 
+    if with_mp2:
+        # DF-MP2 from the final MOs: (ia|jb) = sum_P W[P,ia] W[P,jb]
+        no = nelec // 2
+        Co, Cv = mo_c[:, :no], mo_c[:, no:]
+        eo, ev = mo_e[:no], mo_e[no:]
+        Wov = jnp.einsum("pmn,mi,na->pia", B_df, Co, Cv)
+        iajb = jnp.einsum("pia,pjb->iajb", Wov, Wov)
+        denom = (eo[:, None, None, None] - ev[None, :, None, None]
+                 + eo[None, None, :, None] - ev[None, None, None, :])
+        t2 = iajb / denom
+        e_tot = e_tot + jnp.sum(
+            t2 * (2.0 * iajb - jnp.swapaxes(iajb, 1, 3)))
+
     if not with_grad:
         return e_tot, dm, jnp.zeros_like(coords), converged
 
@@ -87,9 +134,12 @@ def _single_scf_with_grad(basis, charges, nelec, n_cycles, with_grad,
     def lagrangian(R):
         ints_ = build_int1e(basis, R, charges)
         H_ = ints_["T"] + ints_["V"]
-        eri_ = build_eri_traced(basis, R)
-        J_ = jnp.einsum("ijkl,kl->ij", eri_, dm)
-        K_ = jnp.einsum("ikjl,kl->ij", eri_, dm)
+        if df_aux is not None:
+            J_, K_ = _df_jk_factory(basis, df_aux, Linv, R)[0](dm)
+        else:
+            eri_ = build_eri_traced(basis, R)
+            J_ = jnp.einsum("ijkl,kl->ij", eri_, dm)
+            K_ = jnp.einsum("ikjl,kl->ij", eri_, dm)
         e = jnp.einsum("ij,ij->", dm, H_ + 0.5 * J_ - 0.25 * K_) \
             - jnp.einsum("ij,ij->", W, ints_["S"])
         diff_ = R[:, None, :] - R[None, :, :]
@@ -102,11 +152,40 @@ def _single_scf_with_grad(basis, charges, nelec, n_cycles, with_grad,
     return e_tot, dm, grad, converged
 
 
+def _df_setup(mol, coords_batch, frozen: bool):
+    """Auxiliary basis + HOST-computed whitening factor(s) for the batched
+    DF path. frozen=True: ONE factor from the parent metric (FD-Hessian
+    displacements — AD/FD self-consistent frozen-fit surface, VERDICT r2
+    item #8). frozen=False: one factor per geometry (energy-only sweeps
+    whose geometries differ by more than a displacement), zero-padded to
+    a common row count so the batch vmaps."""
+    from cctpu.ints.df import autoaux, build_2c2e_device, metric_factor
+
+    aux = autoaux(mol.basis_set)
+    if frozen:
+        M = build_2c2e_device(aux, jnp.asarray(mol.coords))
+        return aux, jnp.asarray(metric_factor(M))
+    Ls = []
+    for c in np.asarray(coords_batch):
+        M = build_2c2e_device(aux, jnp.asarray(c))
+        Ls.append(np.asarray(metric_factor(M)))
+    nk = max(L.shape[0] for L in Ls)
+    out = np.zeros((len(Ls), nk, aux.nao))
+    for t, L in enumerate(Ls):
+        out[t, :L.shape[0]] = L
+    return aux, jnp.asarray(out)
+
+
 def batched_rhf(mol: Molecule, coords_batch, dm0, n_cycles: int = 25,
-                with_grad: bool = False, mesh: Optional[Mesh] = None):
+                with_grad: bool = False, mesh: Optional[Mesh] = None,
+                df: bool = False, df_frozen_metric: bool = True,
+                with_mp2: bool = False):
     """Run RHF on a batch of geometries [T, natm, 3] (shared topology).
 
     dm0: warm-start density [nao, nao] (broadcast) or [T, nao, nao].
+    df: density-fitted J/K (O(naux*nao^2) per task instead of the in-core
+    nao^4 trace — the memory gate-lifter for FD-Hessian batches).
+    with_mp2: add DF-MP2 correlation to e_tot (implies df).
     Returns (e_tot [T], dm [T,n,n], grad [T,natm,3], converged [T]).
     """
     basis = mol.basis_set
@@ -118,24 +197,40 @@ def batched_rhf(mol: Molecule, coords_batch, dm0, n_cycles: int = 25,
     if dm0.ndim == 2:
         dm0 = jnp.broadcast_to(dm0, (T,) + dm0.shape)
 
+    df = df or with_mp2
+    aux = Linv = None
+    if df:
+        aux, Linv = _df_setup(mol, coords_batch, df_frozen_metric)
     fn = partial(_single_scf_with_grad, basis, charges, nelec, n_cycles,
-                 with_grad)
-    vfn = jax.jit(jax.vmap(fn))
+                 with_grad, aux, with_mp2=with_mp2)
+    if df:
+        # Linv threads as an ARGUMENT (a closure constant this size would
+        # inline into the serialized HLO — the axon HTTP-413 failure mode)
+        vfn = jax.jit(jax.vmap(
+            fn, in_axes=(0, 0, None if df_frozen_metric else 0)))
+        args = [coords_batch, dm0, Linv]
+        sharded = [True, True, not df_frozen_metric]
+    else:
+        vfn = jax.jit(jax.vmap(fn))
+        args = [coords_batch, dm0]
+        sharded = [True, True]
 
     if mesh is not None:
         shard = NamedSharding(mesh, P("task"))
-        coords_batch = jax.device_put(coords_batch, shard)
-        dm0 = jax.device_put(dm0, shard)
+        args = [jax.device_put(a, shard) if s else a
+                for a, s in zip(args, sharded)]
         with mesh:
-            return vfn(coords_batch, dm0)
-    return vfn(coords_batch, dm0)
+            return vfn(*args)
+    return vfn(*args)
 
 
 def hessian_batched(mol: Molecule, dm0, step: float = 1e-3,
                     mesh: Optional[Mesh] = None,
-                    n_cycles: int = 25):
+                    n_cycles: int = 25, df: bool = False):
     """Cartesian RHF Hessian: all 6N displaced gradients in ONE sharded
-    batch (the reference's serial loop, TPU-parallelized)."""
+    batch (the reference's serial loop, TPU-parallelized). df=True runs
+    every displacement on the parent-geometry frozen-metric DF surface
+    (O(naux*nao^2) instead of nao^4 per task)."""
     natm = mol.natm
     n3 = natm * 3
     coords = mol.coords
@@ -153,21 +248,26 @@ def hessian_batched(mol: Molecule, dm0, step: float = 1e-3,
     if npad:
         batch = np.concatenate([batch, np.repeat(batch[-1:], npad, 0)])
     _, _, grads, _conv = batched_rhf(mol, batch, dm0, n_cycles=n_cycles,
-                              with_grad=True, mesh=mesh)
+                                     with_grad=True, mesh=mesh, df=df,
+                                     df_frozen_metric=True)
     grads = np.asarray(grads)[:T].reshape(n3, 2, n3)
     H = (grads[:, 0, :] - grads[:, 1, :]) / (2 * step)
     return 0.5 * (H + H.T)
 
 
 def _single_rks(basis, charges, nelec, func, grids, grid_chunk, n_cycles,
-                coords, dm0):
+                df_aux, coords, dm0, Linv=None):
     """One RKS (pure or global hybrid) with traced integrals + grids:
-    vmappable over geometries. Returns (e_tot, dm, converged)."""
+    vmappable over geometries. Returns (e_tot, dm, converged). df_aux:
+    DF J/K with a host-whitened factor (see _single_scf_with_grad)."""
     ints = build_int1e(basis, coords, charges)
     S = ints["S"]
     H = ints["T"] + ints["V"]
     X = _orthogonalizer(S)
-    eri = build_eri_traced(basis, coords)
+    if df_aux is not None:
+        df_jk = _df_jk_factory(basis, df_aux, Linv, coords)[0]
+    else:
+        eri = build_eri_traced(basis, coords)
     ax = func.hyb
 
     pts, w = grids.build(coords)
@@ -208,11 +308,14 @@ def _single_rks(basis, charges, nelec, func, grids, grid_chunk, n_cycles,
 
     def cycle(carry, _):
         diis, dm = carry
-        J = jnp.einsum("ijkl,kl->ij", eri, dm)
+        if df_aux is not None:
+            J, K = df_jk(dm)
+        else:
+            J = jnp.einsum("ijkl,kl->ij", eri, dm)
+            K = jnp.einsum("ikjl,kl->ij", eri, dm) if ax else None
         veff = J
         e2 = 0.5 * jnp.einsum("ij,ij->", dm, J)
         if ax:
-            K = jnp.einsum("ikjl,kl->ij", eri, dm)
             veff = veff - 0.5 * ax * K
             e2 = e2 - 0.25 * ax * jnp.einsum("ij,ij->", dm, K)
         if func.exc is not None:
@@ -247,10 +350,14 @@ def _single_rks(basis, charges, nelec, func, grids, grid_chunk, n_cycles,
 
 def batched_rks(mol: Molecule, coords_batch, dm0, xc: str = "b3lyp",
                 n_cycles: int = 25, grid_level: int = 2,
-                grid_chunk: int = 2048, mesh: Optional[Mesh] = None):
+                grid_chunk: int = 2048, mesh: Optional[Mesh] = None,
+                df: bool = False, df_frozen_metric: bool = False):
     """Batched restricted Kohn-Sham over geometries [T, natm, 3] (shared
-    topology; in-core ERIs — small/medium systems), sharded over the mesh
-    'task' axis. Extends batched_rhf to DFT (VERDICT round-1 item #4).
+    topology), sharded over the mesh 'task' axis. Extends batched_rhf to
+    DFT (VERDICT round-1 item #4). df=True swaps the in-core nao^4 ERI
+    trace for DF J/K (host-whitened metric; frozen parent metric for
+    displacement batches, per-geometry otherwise) — lifts the memory gate
+    from the b3lyp BDE tier and FD batches (VERDICT r2 item #8).
     Returns (e_tot [T], dm [T,n,n], converged [T])."""
     from cctpu.dft.grids import Grids
     from cctpu.dft.xc import get_functional
@@ -266,16 +373,27 @@ def batched_rks(mol: Molecule, coords_batch, dm0, xc: str = "b3lyp",
     if dm0.ndim == 2:
         dm0 = jnp.broadcast_to(dm0, (T,) + dm0.shape)
 
+    aux = Linv = None
+    if df:
+        aux, Linv = _df_setup(mol, coords_batch, df_frozen_metric)
     fn = partial(_single_rks, basis, charges, nelec, func, grids,
-                 grid_chunk, n_cycles)
-    vfn = jax.jit(jax.vmap(fn))
+                 grid_chunk, n_cycles, aux)
+    if df:
+        vfn = jax.jit(jax.vmap(
+            fn, in_axes=(0, 0, None if df_frozen_metric else 0)))
+        args = [coords_batch, dm0, Linv]
+        sharded = [True, True, not df_frozen_metric]
+    else:
+        vfn = jax.jit(jax.vmap(fn))
+        args = [coords_batch, dm0]
+        sharded = [True, True]
     if mesh is not None:
         shard = NamedSharding(mesh, P("task"))
-        coords_batch = jax.device_put(coords_batch, shard)
-        dm0 = jax.device_put(dm0, shard)
+        args = [jax.device_put(a, shard) if s else a
+                for a, s in zip(args, sharded)]
         with mesh:
-            return vfn(coords_batch, dm0)
-    return vfn(coords_batch, dm0)
+            return vfn(*args)
+    return vfn(*args)
 
 
 # ----------------------------------------------------------------------------

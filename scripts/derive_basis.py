@@ -146,10 +146,12 @@ def contract(el, params_by_l):
     mol = mf.mol
     # atomic-orbital coefficients per l channel: pick the alpha MOs that are
     # occupied and of that angular momentum (pure-l AOs at one center)
-    C = np.asarray(mf.mo_coeff[0] if isinstance(mf.mo_coeff, tuple)
-                   else mf.mo_coeff)
-    occ = np.asarray(mf.mo_occ[0] if isinstance(mf.mo_occ, tuple)
-                     else mf.mo_occ)
+    # UHF stores stacked [2, ...] arrays (not tuples): take the alpha
+    # channel; RHF gives plain 2-D/1-D arrays
+    C = np.asarray(mf.mo_coeff)
+    occ = np.asarray(mf.mo_occ)
+    if C.ndim == 3:
+        C, occ = C[0], occ[0]
     bs = mol.basis_set
     out_shells = []
     for l in sorted(params_by_l):
@@ -163,8 +165,9 @@ def contract(el, params_by_l):
         rows.sort(key=lambda t: -t[0])
         row_idx = np.array([r[1] for r in rows])
         # occupied MOs dominated by this channel, ordered by energy
-        mo_e = np.asarray(mf.mo_energy[0] if isinstance(mf.mo_energy, tuple)
-                          else mf.mo_energy)
+        mo_e = np.asarray(mf.mo_energy)
+        if mo_e.ndim == 2:
+            mo_e = mo_e[0]                       # alpha channel
         cand = []
         for i in np.argsort(mo_e):
             if occ[i] <= 0:

