@@ -298,15 +298,15 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
                             dtype=jnp.float64, verbose: bool = False):
     """(P|ab) via super-batched device KERNELS + HOST numpy assembly.
 
-    Round-3 finding (scripts/isolate_device_build.py on the axon TPU):
-    the fully device-resident assembly (build_*_device) produces values
-    wrong by ~1% of scale on the experimental axon platform, while the
-    same quartet kernels with host-side assembly are correct (round 1
-    shipped that way at 4.5e-5 |dE|). This builder keeps the few-dispatch
-    super-batch kernel structure (compile-cache-friendly, ~1 dispatch per
-    65k quartets vs round 1's per-chunk dispatches) but pulls each
-    super-batch to the host and scatters in numpy. Extra cost: one
-    X-sized device->host transfer + one host->device upload.
+    Returns a HOST numpy array [naux, nao, nao]. This is the production
+    X builder: the DF pipeline whitens B = Linv @ X on host in TRUE f64
+    (the accelerator has no f64-grade matmul at any precision setting —
+    micro_probe P4/P4b measured bf16-grade at default and f32-grade at
+    HIGHEST — and the autoaux Linv has rows of norm ~1/sqrt(lambda_min)
+    ~2.6e4, so an f32-grade whitening contraction corrupts B by ~1e-2:
+    the 0.052 Ha phenol failure of rounds 2-3). Keeping X on host costs
+    nothing extra here since the kernels' super-batches are pulled to
+    host anyway; only the whitened B is uploaded.
     """
     from cctpu.ints.two_electron import schwarz_q
 
@@ -372,7 +372,7 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
             if verbose:
                 print(f"#   3c2e-h ls={ls} nq={len(q1)} chunk={chunk} "
                       f"{_t.time() - _tk:.1f}s", file=sys.stderr, flush=True)
-    return jnp.asarray(out)
+    return out
 
 
 def build_2c2e_hostassemble(aux: BasisSet, coords,
@@ -418,7 +418,7 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
                 out[P_idx[:, :, None], Q_idx[:, None, :]] = blocks
                 out[Q_idx[:, :, None], P_idx[:, None, :]] = \
                     blocks.swapaxes(1, 2)
-    return jnp.asarray(out)
+    return out
 
 
 def build_2c2e_device(aux: BasisSet, coords,
@@ -1046,17 +1046,21 @@ class DFJK(_BContractions):
       J(D)  = einsum('pij,ij->p', B, D) contracted back,
       K(D)  = einsum('pik,kl,pjl->ij', B, D, B).
 
-    Build pipeline (integrals device-resident — round 1 shipped every
-    integral block host-side over a ~30 MB/s link, 318 s at phenol):
-      1. (P|Q) and (P|ab) assembled on device (build_*_device),
+    Build pipeline (kernels on device, assembly + whitening on HOST):
+      1. (P|Q) and (P|ab) super-batch KERNELS run on device; blocks are
+         assembled host-side in f64 (build_*_hostassemble),
       2. Linv from a HOST true-f64 factorization (metric_factor — the
          device's emulated f64 cannot factor the cond~5e10 autoaux
          metric; round-2 postmortem),
-      3. the f32 hot-loop tensor B32 = Linv @ X as ONE MXU matmul,
-      4. the f64 B formed LAZILY (first `.B` access) — emulated-f64
-         matmuls run ~70x slower than f32, so pure-f32 consumers (the
-         mixed-precision SCF iterations, the bench timing loop) never
-         pay for it.
+      3. B = Linv @ X as a HOST f64 dgemm. This placement is forced by
+         hardware: the accelerator has NO f64-grade matmul (HIGHEST is
+         f32-grade, micro_probe P4), and with ||Linv_rows|| up to
+         1/sqrt(lambda_min) ~ 2.6e4 an f32-grade whitening contraction
+         loses ~4 digits to cancellation — the 0.052 Ha phenol failure
+         of rounds 2-3 (BENCH_r02/r03 postmortem). Only the finished
+         B32 (+ B64 when small enough) is uploaded.
+      4. the f64 B uploaded LAZILY (first `.B` access) so pure-f32
+         consumers (mixed-precision SCF, the bench loop) skip the bytes.
     """
 
     def __init__(self, mol, coords=None, beta: float = 1.8,
@@ -1067,12 +1071,16 @@ class DFJK(_BContractions):
         c = jnp.asarray(mol.coords if coords is None else coords)
         naux, nao = self.aux.nao, basis.nao
         self.f64_exact = naux * nao * nao * 8 <= _X64_BUDGET_BYTES
-        xdt = jnp.float64 if self.f64_exact else jnp.float32
-        M = build_2c2e_device(self.aux, c)
-        self._Linv = metric_factor(M)
-        self._X = build_3c2e_device(basis, self.aux, c, dtype=xdt)
-        self._B32 = _whiten_fn("float32")(self._Linv, self._X)
+        M = build_2c2e_hostassemble(self.aux, c)
+        Linv = np.asarray(metric_factor(M))
+        X = build_3c2e_hostassemble(basis, self.aux, c)
+        Bh = Linv @ X.reshape(naux, -1)              # host f64 dgemm
+        del X
+        self._Bh = Bh.reshape(Linv.shape[0], nao, nao)
+        self._B32 = jnp.asarray(self._Bh.astype(np.float32))
         self._B32.block_until_ready()
+        if not self.f64_exact:
+            self._Bh = None          # too big to keep/upload in f64
         self._B64 = None
         self._mol = mol
         self._coords = c
@@ -1080,11 +1088,13 @@ class DFJK(_BContractions):
 
     @property
     def B(self):
-        """f64 factor tensor (MP2/CASSCF/response consumers). Lazy: formed
-        on first access so f32-only runs skip the emulated-f64 matmul."""
+        """f64 factor tensor (MP2/CASSCF/response consumers). Lazy: the
+        host-whitened f64 B uploads on first access so f32-only runs skip
+        the bytes. Beyond the f64 budget it is the f32 B widened (those
+        consumers run compressed/smaller systems in practice)."""
         if self._B64 is None:
             if self.f64_exact:
-                self._B64 = _whiten_fn("float64")(self._Linv, self._X)
+                self._B64 = jnp.asarray(self._Bh)
             else:
                 self._B64 = self._B32.astype(jnp.float64)
             self._B64 = self._place_aux(self._B64)
@@ -1156,10 +1166,15 @@ class DFJK(_BContractions):
     def _ensure_lr(self, omega: float):
         if omega not in self._B_lr:
             basis = self._mol.basis_set
-            xdt = jnp.float64 if self.f64_exact else jnp.float32
-            X = build_3c2e_device(basis, self.aux, self._coords,
-                                  omega=omega, dtype=xdt)
-            M = build_2c2e_device(self.aux, self._coords, omega=omega)
-            Linv = metric_factor(M, rcond=1e-10)
-            self._B_lr[omega] = self._place_aux(
-                _whiten_fn(jnp.dtype(xdt).name)(Linv, X))
+            naux = self.aux.nao
+            X = build_3c2e_hostassemble(basis, self.aux, self._coords,
+                                        omega=omega)
+            M = build_2c2e_hostassemble(self.aux, self._coords,
+                                        omega=omega)
+            Linv = np.asarray(metric_factor(M, rcond=1e-10))
+            Bh = Linv @ X.reshape(naux, -1)          # host f64 dgemm
+            del X
+            xdt = np.float64 if self.f64_exact else np.float32
+            self._B_lr[omega] = self._place_aux(jnp.asarray(
+                Bh.reshape(Linv.shape[0], *self._B32.shape[1:])
+                .astype(xdt)))

@@ -33,7 +33,7 @@ import numpy as np
 from cctpu.core.basis import BasisSet, nsph
 from cctpu.ints.df import (_DUMMY_C, _DUMMY_E, _class_batch_fn, _pow2_rows,
                            _aux_schwarz_max, _superbatches, autoaux,
-                           build_2c2e_device, metric_factor)
+                           build_2c2e_hostassemble, metric_factor)
 from cctpu.ints.two_electron import _class_chunk, pair_classes, schwarz_q
 
 
@@ -167,6 +167,67 @@ def build_3c2e_compressed(basis: BasisSet, aux: BasisSet, coords,
     return out[:naux, :pm.npair_pad]
 
 
+def build_3c2e_compressed_hostassemble(basis: BasisSet, aux: BasisSet,
+                                       coords, pm: PairMap,
+                                       omega: Optional[float] = None,
+                                       verbose: bool = False) -> np.ndarray:
+    """(P|ab) over the compressed pair axis, super-batch device KERNELS +
+    HOST f64 assembly: returns numpy [naux, npair_pad]. Production path —
+    the whitening B = Linv @ X must run on host in true f64 (the device
+    has no f64-grade matmul; see ints/df.DFJK docstring), so X lands on
+    host anyway; this skips the device scatter kernels entirely."""
+    coords = jnp.asarray(coords)
+    naux = aux.nao
+    out = np.zeros((naux + 1, pm.npair_pad + 1))
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    if verbose:
+        import sys
+        import time as _t
+    for lP in sorted(aux.groups):
+        gP = aux.groups[lP]
+        nP = len(gP.shell_idx)
+        sP = nsph(lP)
+        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
+        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
+        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
+        for pc, keep, slots in zip(pm.pcs, pm.keep_masks, pm.slots):
+            pair_sel = np.nonzero(keep)[0]
+            if len(pair_sel) == 0:
+                continue
+            ls = (lP, 0, pc.la, pc.lb)
+            kern = _class_batch_fn(ls, omega, "float64", False)
+            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
+            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
+            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
+            Be = jnp.asarray(_pow2_rows(pc.exps_b))
+            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
+            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
+            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
+            q1 = q1.ravel()
+            q2 = pair_sel[q2.ravel()]
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+            sa, sb = nsph(pc.la), nsph(pc.lb)
+            if verbose:
+                _tk = _t.time()
+            for i1, i2, padm in _superbatches(q1, q2, chunk):
+                blocks = np.asarray(kern(Pe, Pc, Pxyz, de, dc, Ae, Ac,
+                                         Axyz, Be, Bc, Bxyz,
+                                         jnp.asarray(i1),
+                                         jnp.asarray(i2)))[~padm]
+                q1f, q2f = i1.ravel()[~padm], i2.ravel()[~padm]
+                P_idx = gP.ao_start[q1f][:, None] + np.arange(sP)
+                S_idx = slots[q2f]                        # [N, sa*sb]
+                out[P_idx[:, :, None],
+                    S_idx[:, None, :]] = blocks.reshape(len(q1f), sP,
+                                                        sa * sb)
+            if verbose:
+                print(f"#   3c2e-ch ls={ls} nq={len(q1)} chunk={chunk} "
+                      f"{_t.time() - _tk:.1f}s", file=sys.stderr, flush=True)
+    return out[:naux, :pm.npair_pad]
+
+
 @lru_cache(maxsize=None)
 def _scatter_c_fn(n, sP, sab, naux1, npair1, dtype_name):
     """Scatter one super-batch of [n, sP, sab] blocks into the padded
@@ -268,11 +329,13 @@ class CompressedDFJK:
         c = jnp.asarray(mol.coords if coords is None else coords)
         q_aux = _aux_schwarz_max(self.aux, c)
         self.pm = PairMap(basis, c, screen_tol=screen_tol / max(q_aux, 1e-30))
-        M = build_2c2e_device(self.aux, c)
-        self._Linv = metric_factor(M)
-        X = build_3c2e_compressed(basis, self.aux, c, self.pm,
-                                  dtype=jnp.float32)
-        self._B32 = _whiten_c_fn("float32")(self._Linv, X)
+        M = build_2c2e_hostassemble(self.aux, c)
+        Linv = np.asarray(metric_factor(M))
+        X = build_3c2e_compressed_hostassemble(basis, self.aux, c, self.pm)
+        # HOST f64 dgemm: the device has no f64-grade matmul and the
+        # ill-conditioned Linv turns an f32-grade whitening into ~1e-2
+        # B error (ints/df.DFJK docstring; rounds 2-3 postmortem)
+        self._B32 = jnp.asarray((Linv @ X).astype(np.float32))
         self._B32.block_until_ready()
         del X
         self._pi = jnp.asarray(self.pm.pi)
@@ -346,12 +409,14 @@ class CompressedDFJK:
     # -- RSH long-range exchange ----------------------------------------------
     def prepare_lr(self, omega: float):
         if omega not in self._B_lr:
-            X = build_3c2e_compressed(self._mol.basis_set, self.aux,
-                                      self._coords, self.pm, omega=omega,
-                                      dtype=jnp.float32)
-            M = build_2c2e_device(self.aux, self._coords, omega=omega)
-            Linv = metric_factor(M, rcond=1e-10)
-            self._B_lr[omega] = _whiten_c_fn("float32")(Linv, X)
+            X = build_3c2e_compressed_hostassemble(
+                self._mol.basis_set, self.aux, self._coords, self.pm,
+                omega=omega)
+            M = build_2c2e_hostassemble(self.aux, self._coords,
+                                        omega=omega)
+            Linv = np.asarray(metric_factor(M, rcond=1e-10))
+            self._B_lr[omega] = jnp.asarray(
+                (Linv @ X).astype(np.float32))
 
     def k_lr(self, dm, omega: float, cocc=None):
         ov = self._consts_override
