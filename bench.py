@@ -364,6 +364,10 @@ STAGES = [
 
 def main():
     stages = STAGES
+    only = os.environ.get("CCTPU_BENCH_STAGES")
+    if only:
+        names = {s.strip() for s in only.split(",") if s.strip()}
+        stages = [s for s in STAGES if s[0] in names]
     state = {"result": None}
 
     def emit(r):
