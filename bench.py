@@ -383,6 +383,10 @@ def main():
         raise TimeoutError("bench budget exhausted mid-stage")
 
     signal.signal(signal.SIGALRM, _alarm)
+    # cooperative deadline for the eager builders: SIGALRM cannot interrupt
+    # a blocked remote compile (30-110 s each on the axon tunnel), so the
+    # integral class loops check this between dispatches (utils/deadline.py)
+    os.environ.setdefault("CCTPU_DEADLINE_TS", str(T_START + BUDGET_S))
     contract_done = False
     for name, atoms, basis, frac_gate, solve in stages:
         if state["result"] is not None and \

@@ -196,7 +196,14 @@ def _scatter2_fn(n, sP, sQ, naux1, dtype_name):
 def _superbatches(q1: np.ndarray, q2: np.ndarray, chunk: int):
     """Split quartet index lists into fixed-size super-batches
     [(i1 [SB, chunk], i2 [SB, chunk], padm [N])]. N is _NBATCH, except a
-    lone small batch for classes under _NBATCH_SMALL quartets."""
+    lone small batch for classes under _NBATCH_SMALL quartets.
+
+    Every builder calls this once per class, right before dispatching the
+    class kernel — the one host-side point each ~30-110 s remote compile
+    passes through — so the cooperative bench deadline lives here (SIGALRM
+    cannot interrupt the blocked foreign call; utils/deadline.py)."""
+    from cctpu.utils.deadline import check
+    check("integral class dispatch")
     nreal = len(q1)
     N = _NBATCH if nreal > _NBATCH_SMALL else _NBATCH_SMALL
     N = max(N, chunk)
