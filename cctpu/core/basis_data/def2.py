@@ -1,11 +1,15 @@
 """def2-TZVP (Weigend & Ahlrichs, PCCP 7, 3297 (2005)).
 
-Embedded tables for H, C, N, O — the elements dominating the reference's
-BDE-db2 protocol molecules (templates/calculate_bde.py:502-505 defaults
-M06-2X/def2-TZVP). Elements not embedded here fall back per-element down
-the chain 6-311G** -> 6-31G** with a logged warning (core/basis.py), so
-e.g. a thioether BDE runs with def2-TZVP on C/H/O and 6-31G** on S rather
-than failing outright.
+Embedded tables: H, C, N, O are the published Weigend-Ahlrichs rows (the
+elements dominating the reference's BDE-db2 protocol molecules,
+templates/calculate_bde.py:502-505 defaults M06-2X/def2-TZVP). S (and
+other rows tagged "derived by scripts/derive_basis.py") are zero-egress
+re-derivations of the def2 construction: atomic-UHF-optimized
+well-tempered primitives at the published (14s,9p)+2d1f composition,
+embedded uncontracted with the validated atomic energy pinned in
+tests/test_basis_data.py (S: 10.7 mHa above the Hartree-Fock limit —
+published def2-TZVP grade). Elements not embedded fall back per-element
+down the chain 6-311G** -> 6-31G** with a logged warning (core/basis.py).
 """
 
 DEF2_TZVP_NWCHEM = """BASIS
@@ -112,6 +116,116 @@ O    D
        0.6450000   1.0000000
 O    F
        1.4280000   1.0000000
+# S: derived by scripts/derive_basis.py (atomic-UHF-optimized well-tempered primitives,
+# uncontracted, def2-TZVP-composition polarization; E_atom_UHF = -397.494238 Ha,
+# pinned in tests/test_basis_data.py)
+S    S
+         82889.5182302    1.0000000000
+S    S
+         18170.9112649    1.0000000000
+S    S
+          6506.3441992    1.0000000000
+S    S
+          2460.8704836    1.0000000000
+S    S
+           934.1543041    1.0000000000
+S    S
+           354.6728442    1.0000000000
+S    S
+           134.6605055    1.0000000000
+S    S
+            51.1272722    1.0000000000
+S    S
+            19.4117641    1.0000000000
+S    S
+             7.3701680    1.0000000000
+S    S
+             2.7982710    1.0000000000
+S    S
+             1.0624345    1.0000000000
+S    S
+             0.4033802    1.0000000000
+S    S
+             0.1531535    1.0000000000
+S    P
+           383.6960801    1.0000000000
+S    P
+           137.7583929    1.0000000000
+S    P
+            49.4578324    1.0000000000
+S    P
+            17.7810959    1.0000000000
+S    P
+             6.4141917    1.0000000000
+S    P
+             2.3276864    1.0000000000
+S    P
+             0.8526609    1.0000000000
+S    P
+             0.3166152    1.0000000000
+S    P
+             0.1197961    1.0000000000
+S    D
+             0.8190000    1.0000000000
+S    D
+             0.2690000    1.0000000000
+S    F
+             0.5570000    1.0000000000
+# Cl: derived by scripts/derive_basis.py (atomic-UHF-optimized well-tempered primitives,
+# uncontracted, def2-TZVP-composition polarization; E_atom_UHF = -459.473736 Ha,
+# pinned in tests/test_basis_data.py)
+Cl    S
+        164400.3110955    1.0000000000
+Cl    S
+         24860.6750893    1.0000000000
+Cl    S
+          6743.6776371    1.0000000000
+Cl    S
+          2439.3440815    1.0000000000
+Cl    S
+           942.2318443    1.0000000000
+Cl    S
+           367.7000160    1.0000000000
+Cl    S
+           143.6744508    1.0000000000
+Cl    S
+            56.1460325    1.0000000000
+Cl    S
+            21.9413087    1.0000000000
+Cl    S
+             8.5744482    1.0000000000
+Cl    S
+             3.3508103    1.0000000000
+Cl    S
+             1.3094638    1.0000000000
+Cl    S
+             0.5117256    1.0000000000
+Cl    S
+             0.1999774    1.0000000000
+Cl    P
+           485.9828712    1.0000000000
+Cl    P
+           133.2801031    1.0000000000
+Cl    P
+            47.0241866    1.0000000000
+Cl    P
+            17.4514928    1.0000000000
+Cl    P
+             6.5188199    1.0000000000
+Cl    P
+             2.4364382    1.0000000000
+Cl    P
+             0.9106586    1.0000000000
+Cl    P
+             0.3403738    1.0000000000
+Cl    P
+             0.1272204    1.0000000000
+Cl    D
+             1.0460000    1.0000000000
+Cl    D
+             0.3440000    1.0000000000
+Cl    F
+             0.7060000    1.0000000000
 END
 """
 

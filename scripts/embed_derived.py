@@ -20,7 +20,14 @@ def main(elements):
     with open(DEF2) as f:
         src = f.read()
     for el in elements:
-        path = f"/tmp/derived_{el}.nwchem"
+        # prefer the UNCONTRACTED table (scripts/uncontract post-pass): the
+        # segmented-contraction step of derive_basis.py can lose energy
+        # catastrophically (S: 16.8 Ha), while the optimized primitives
+        # themselves are HF-limit-grade (S: 10.7 mHa above the limit,
+        # re-validated by an atomic UHF on the uncontracted table)
+        path = f"/tmp/derived_{el}_unc.nwchem"
+        if not os.path.exists(path):
+            path = f"/tmp/derived_{el}.nwchem"
         with open(path) as f:
             text = f.read()
         m = re.search(r"# E_atom_UHF = (-?\d+\.\d+)", text)
@@ -31,8 +38,8 @@ def main(elements):
             continue
         block = (f"# {el}: derived by scripts/derive_basis.py "
                  f"(atomic-UHF-optimized well-tempered primitives,\n"
-                 f"# Ahlrichs segmented contraction, def2-TZVP "
-                 f"composition; E_atom_UHF = {e_atom} Ha,\n"
+                 f"# uncontracted, def2-TZVP-composition polarization; "
+                 f"E_atom_UHF = {e_atom} Ha,\n"
                  f"# pinned in tests/test_basis_data.py)\n{body}\n")
         src = src.replace('END\n"""', block + 'END\n"""')
         print(f"{el}: embedded ({len(body.splitlines())} rows), "
