@@ -90,9 +90,12 @@ def _seed_cache():
     bench's 6-31G* integral-class family alone (the round-1 bench died to
     exactly this). TPU-target entries carry no host codegen and the axon
     platform_version is a stable build string, so they ARE shareable across
-    boots — the expensive ones are committed as scripts/cache_seed.tar.gz
-    and unpacked once per boot here. (XLA:CPU entries are NOT seedable —
-    see _host_fingerprint.)
+    boots — when scripts/cache_seed.tar.gz exists (generated from a warm
+    run by scripts/make_cache_seed.py; at ~1.2 GB for the full 6-31G*
+    family it is too large to keep in git, so a fresh deployment instead
+    runs a detached warming pass first — see NOTES_r03.md) it is unpacked
+    once per boot here. (XLA:CPU entries are NOT seedable — see
+    _host_fingerprint.)
     """
     # gate on the RESOLVED platform, not the cache-dir name: with
     # CCTPU_JAX_CACHE set, or JAX_PLATFORMS unset on a real TPU VM, the
