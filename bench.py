@@ -386,7 +386,10 @@ def main():
     # cooperative deadline for the eager builders: SIGALRM cannot interrupt
     # a blocked remote compile (30-110 s each on the axon tunnel), so the
     # integral class loops check this between dispatches (utils/deadline.py)
-    os.environ.setdefault("CCTPU_DEADLINE_TS", str(T_START + BUDGET_S))
+    # overwrite unconditionally: a stale value inherited from a previous
+    # run/wrapper (possibly already in the past) would make every
+    # _superbatches call raise immediately, zeroing out all stages
+    os.environ["CCTPU_DEADLINE_TS"] = str(T_START + BUDGET_S)
     contract_done = False
     for name, atoms, basis, frac_gate, solve in stages:
         if state["result"] is not None and \

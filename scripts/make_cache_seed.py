@@ -22,10 +22,14 @@ def main():
     if len(sys.argv) > 1:
         cache = sys.argv[1]
     else:
+        # _host_fingerprint already appends the JAX_PLATFORMS suffix —
+        # force the axon platform BEFORE importing so the fingerprint
+        # matches how cctpu/__init__.py builds _cache_dir for TPU runs
+        os.environ.setdefault("JAX_PLATFORMS", "axon")
         sys.path.insert(0, REPO)
         from cctpu import _host_fingerprint
         cache = os.path.expanduser(
-            "~/.cache/cctpu_jax_" + _host_fingerprint() + "_axon")
+            "~/.cache/cctpu_jax_" + _host_fingerprint())
     entries = [f for f in os.listdir(cache) if f.endswith("-cache")]
     if not entries:
         raise SystemExit(f"no cache entries in {cache}")

@@ -58,18 +58,21 @@ def test_per_element_fallback_logged(capsys):
 def test_def2_tzvp_fallback_enriched_to_2d1f():
     """Elements missing from the embedded def2-TZVP get the fallback basis
     upgraded with split-d + f polarization (TZ-quality), not plain
-    6-31G**."""
+    6-311G**. S/Cl are embedded since round 3, so probe with P (falls
+    back to 6-311G**, single-prim a_d = 0.55)."""
     from cctpu.core.basis import build_basis
     import numpy as np
 
-    bs = build_basis(["S"], np.zeros((1, 3)), "def2-tzvp")
+    bs = build_basis(["P"], np.zeros((1, 3)), "def2-tzvp")
     ls = [sh.l for sh in bs.shells]
     assert ls.count(2) == 2          # split d set
     assert ls.count(3) == 1          # f polarization
     d_exps = sorted(float(sh.exps[0]) for sh in bs.shells if sh.l == 2)
-    # documented ratios from 6-31G* a_d(S)=0.65: ~(0.156, 0.481)
-    assert abs(d_exps[0] - 0.24 * 0.65) < 1e-6
-    assert abs(d_exps[1] - 0.74 * 0.65) < 1e-6
+    a_d = 0.55                       # 6-311G** P polarization exponent
+    assert abs(d_exps[0] - 0.24 * a_d) < 1e-6
+    assert abs(d_exps[1] - 0.74 * a_d) < 1e-6
+    f_exps = [float(sh.exps[0]) for sh in bs.shells if sh.l == 3]
+    assert abs(f_exps[0] - 0.86 * a_d) < 1e-6
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +145,14 @@ def test_def2_tzvp_sulfur_embedded_no_fallback(capsys):
     """A def2-TZVP S molecule must build without a basis-fallback log."""
     mol = Molecule.from_atoms("S 0 0 0; H 0 0 1.34; H 1.26 0 -0.45",
                               basis="def2-tzvp")
-    out = capsys.readouterr().out + capsys.readouterr().err
-    assert "fallback" not in out.lower(), out
+    cap = capsys.readouterr()        # one read drains BOTH streams
+    text = cap.out + cap.err
+    assert "not in embedded" not in text, text
+    # embedded-table-specific values (enriched fallback would give
+    # 0.156/0.481 from a_d=0.65): the published-grade S d set is
+    # 0.269/0.819 (core/basis_data/def2.py)
+    d_exps = sorted(float(sh.exps[0]) for sh in mol.basis_set.shells
+                    if sh.l == 2 and sh.atom == 0)
+    assert abs(d_exps[0] - 0.269) < 1e-9 and abs(d_exps[1] - 0.819) < 1e-9
     ls = sorted({sh.l for sh in mol.basis_set.shells})
     assert 3 in ls           # the f polarization shell made it in
