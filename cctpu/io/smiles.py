@@ -7,9 +7,14 @@ deployment, so the framework ships its own parser + graph model +
 3D embedding (io/embed3d.py) with the same deterministic-seed contract.
 
 Supported: organic subset + bracket atoms ([NH4+], [O-], [nH], isotopes
-ignored, stereo markers parsed and ignored), bonds - = # : / \\, branches,
-ring closures (incl. %nn), dot-separated fragments, aromatic perception of
-lowercase atoms with kekulization by perfect matching.
+ignored), bonds - = # : / \\, branches, ring closures (incl. %nn),
+dot-separated fragments, aromatic perception of lowercase atoms with
+kekulization by perfect matching, and STEREOCHEMISTRY: tetrahedral
+@/@@ (neighbor order recorded in MolGraph.chiral_order, enforced as a
+signed-volume constraint by io/embed3d.py) and cis/trans / and \\ bond
+directions (Bond.direction, enforced as a double-bond torsion target).
+The reference gets both from RDKit's ETKDG (templates/
+calculate_energy.py:62-81, calculate_bde.py:57-60).
 """
 
 from __future__ import annotations
@@ -29,20 +34,26 @@ class Atom:
     aromatic: bool = False
     isotope: int = 0
     idx: int = 0
+    chiral: str = ""         # "", "@" (anticlockwise) or "@@" (clockwise)
 
 
 @dataclasses.dataclass
 class Bond:
-    i: int
+    i: int                   # written-order: i appeared before j
     j: int
     order: int = 1           # 1/2/3; aromatic resolved by kekulization
     aromatic: bool = False
+    direction: int = 0       # +1 "/", -1 "\" (oriented i -> j), 0 plain
 
 
 @dataclasses.dataclass
 class MolGraph:
     atoms: List[Atom]
     bonds: List[Bond]
+    # chiral atom idx -> neighbor indices in SMILES written order
+    # (-1 marks the implicit H's slot); len 4 after H resolution
+    chiral_order: Dict[int, List[int]] = dataclasses.field(
+        default_factory=dict)
 
     @property
     def natoms(self):
@@ -92,22 +103,30 @@ def parse_smiles(s: str) -> MolGraph:
     prev: Optional[int] = None
     pending_bond: Optional[str] = None
     ring: Dict[str, Tuple[int, Optional[str]]] = {}
+    # per-atom neighbor record in WRITTEN order (chirality reference frame):
+    # ints are neighbor atom indices, -1 the implicit H, ("r", label) a
+    # still-open ring bond placeholder filled at closure
+    slots: Dict[int, List] = {}
 
     i = 0
     n = len(s)
 
-    def add_atom(sym, aromatic, charge=0, n_h=-1, isotope=0):
+    def add_atom(sym, aromatic, charge=0, n_h=-1, isotope=0, chiral=""):
         a = Atom(symbol=sym, charge=charge, n_h=n_h, aromatic=aromatic,
-                 isotope=isotope, idx=len(atoms))
+                 isotope=isotope, idx=len(atoms), chiral=chiral)
         atoms.append(a)
+        slots[a.idx] = []
         return a.idx
 
-    def add_bond(i_, j_, btype):
+    def add_bond(i_, j_, btype, flip_dir=False):
         order = {None: 1, "-": 1, "=": 2, "#": 3, ":": 1,
                  "/": 1, "\\": 1}[btype]
         arom = (btype in (None, ":") and atoms[i_].aromatic
                 and atoms[j_].aromatic)
-        bonds.append(Bond(i_, j_, order=order, aromatic=arom))
+        d = {"/": 1, "\\": -1}.get(btype, 0)
+        if flip_dir:
+            d = -d
+        bonds.append(Bond(i_, j_, order=order, aromatic=arom, direction=d))
 
     while i < n:
         ch = s[i]
@@ -140,9 +159,15 @@ def parse_smiles(s: str) -> MolGraph:
             if label in ring:
                 j, b0 = ring.pop(label)
                 bt = pending_bond or b0
-                add_bond(prev, j, bt)
+                # a direction marker recorded at ring OPEN was written
+                # opener->closer; Bond stores (closer, opener) here
+                add_bond(prev, j, bt, flip_dir=pending_bond is None)
+                slots[prev].append(j)
+                k = slots[j].index(("r", label))
+                slots[j][k] = prev
             else:
                 ring[label] = (prev, pending_bond)
+                slots[prev].append(("r", label))
             pending_bond = None
             continue
         if ch == "[":
@@ -166,9 +191,22 @@ def parse_smiles(s: str) -> MolGraph:
                 else:
                     charge = int(cg[1:]) * (1 if cg[0] == "+" else -1)
             iso = int(m.group("iso") or 0)
-            idx = add_atom(sym_cap, aromatic, charge, n_h, iso)
+            craw = m.group("chiral") or ""
+            chiral = ""
+            if craw:
+                # @=TH1 (anticlockwise), @@=TH2 (clockwise); AL/SP classes
+                # are not tetrahedral and are ignored
+                if craw.startswith("@@") or craw.endswith("TH2"):
+                    chiral = "@@"
+                elif craw in ("@",) or craw.endswith("TH1"):
+                    chiral = "@"
+            idx = add_atom(sym_cap, aromatic, charge, n_h, iso, chiral)
             if prev is not None:
                 add_bond(prev, idx, pending_bond)
+                slots[prev].append(idx)
+                slots[idx].append(prev)
+            if chiral and n_h >= 1:
+                slots[idx].append(-1)     # the implicit H's written slot
             pending_bond = None
             prev = idx
             i = m.end()
@@ -192,6 +230,8 @@ def parse_smiles(s: str) -> MolGraph:
         idx = add_atom(sym, aromatic)
         if prev is not None:
             add_bond(prev, idx, pending_bond)
+            slots[prev].append(idx)
+            slots[idx].append(prev)
         pending_bond = None
         prev = idx
 
@@ -201,6 +241,11 @@ def parse_smiles(s: str) -> MolGraph:
         raise SmilesError(f"unbalanced '(' in {s!r}")
 
     g = MolGraph(atoms, bonds)
+    for a in atoms:
+        if a.chiral and len(slots[a.idx]) == 4:
+            g.chiral_order[a.idx] = list(slots[a.idx])
+        # any other count (e.g. 3-coordinate N/S chirality) is unsupported:
+        # the marker is kept on the Atom but imposes no constraint
     _kekulize(g)
     _assign_implicit_h(g)
     return g
