@@ -128,8 +128,22 @@ _NBATCH = 65536
 _NBATCH_SMALL = 8192
 
 
+def _split_default() -> bool:
+    """Opt-in (CCTPU_SPLIT_DOTS=1): route superbatch kernels through the
+    bf16 3-slice compensated dots (ops/splitdot.py). Measured on axon
+    (probe_bisect 2026-08-20): the 3-slice scheme is NOT accurate enough
+    for ERI contractions — Hermite/cart2sph sums cancel by ~1e4, so the
+    f32 accumulator floor leaves ~3e-3 relative error (bf16-grade).
+    Meanwhile the f64 HIGHEST einsums measured EXACT (1e-14) in the same
+    lax.map superbatch context at fresh shapes — the round-3 "HIGHEST
+    doesn't hold under lax.map" diagnosis was wrong; the corruption
+    tracks the compiled-executable identity (padding-floor shape), see
+    scripts/probe_floor.py."""
+    return os.environ.get("CCTPU_SPLIT_DOTS", "0") == "1"
+
+
 @lru_cache(maxsize=None)
-def _class_batch_fn(ls, omega, dtype_name, with_aux_right):
+def _class_batch_fn(ls, omega, dtype_name, with_aux_right, split=None):
     """One jitted super-batch: lax.map over [SB, chunk] index arrays
     computes _NBATCH quartet blocks of the class; the stacked result stays
     on device. Nothing crosses the host link (round 1 shipped every block
@@ -139,6 +153,8 @@ def _class_batch_fn(ls, omega, dtype_name, with_aux_right):
     with_aux_right=True:  2c2e (P 0 | Q 0), returns [N, sP, sQ].
     """
     dtype = jnp.dtype(dtype_name)
+    if split is None:
+        split = _split_default()
 
     def fn(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz, Be, Bc, Bxyz, i1, i2):
         def one(j1, j2):
@@ -146,12 +162,12 @@ def _class_batch_fn(ls, omega, dtype_name, with_aux_right):
                 blk = eri_quartet_kernel(
                     ls, Pe[j1], Pc[j1], Pxyz[j1], de, dc, Pxyz[j1],
                     Ae[j2], Ac[j2], Axyz[j2], de, dc, Axyz[j2],
-                    omega=omega)
+                    omega=omega, split_dots=split)
                 return blk[:, 0, :, 0]
             blk = eri_quartet_kernel(
                 ls, Pe[j1], Pc[j1], Pxyz[j1], de, dc, Pxyz[j1],
                 Ae[j2], Ac[j2], Axyz[j2], Be[j2], Bc[j2], Bxyz[j2],
-                omega=omega)
+                omega=omega, split_dots=split)
             return blk[:, 0]
 
         def one_chunk(idx):
@@ -193,6 +209,76 @@ def _scatter2_fn(n, sP, sQ, naux1, dtype_name):
     return jax.jit(fn, donate_argnums=0)
 
 
+# Build-time integral validation: spot-check this many quartets of every
+# dispatched angular-momentum class against the independent numpy oracle
+# (ints/host_oracle.py). Round-4 probe_floor finding: the persistent axon
+# compile cache served ONE corrupt (d|g) executable — all sibling classes
+# bit-exact — silently shifting SCF by 0.05 Ha for two rounds. A corrupt
+# EXECUTABLE can't be caught by precision pins or anchors downstream, only
+# by an independent reference at build time. 0 disables (not recommended).
+_SPOT_N = int(os.environ.get("CCTPU_SPOT_CHECK_N", "4"))
+
+
+def _spot_tol(scale: float, dtype_name: str) -> float:
+    if dtype_name == "float32":
+        return 1e-8 + 3e-5 * scale
+    return 1e-10 + 1e-8 * scale
+
+
+def _validate_batch(blocks_dev, q1f, q2f, padm, oracle_blk):
+    """max|dev - oracle| and oracle scale over a spread of real quartets."""
+    real = np.where(~padm)[0]
+    if _SPOT_N <= 0 or len(real) == 0:
+        return 0.0, 1.0
+    sel = real[np.unique(np.linspace(0, len(real) - 1,
+                                     min(_SPOT_N, len(real))).astype(int))]
+    worst, scale = 0.0, 0.0
+    for k in sel:
+        got = np.asarray(blocks_dev[int(k)], dtype=np.float64)
+        ref = oracle_blk(int(q1f[k]), int(q2f[k]))
+        worst = max(worst, float(np.abs(got - ref).max()))
+        scale = max(scale, float(np.abs(ref).max()))
+    return worst, scale
+
+
+def _dispatch_class(kern, tables, q1, q2, chunk):
+    """All superbatches of one class -> [(blocks_dev, q1f, q2f, padm)].
+
+    tables is the full 11-slot argument tuple of _class_batch_fn's fn
+    (Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz, Be, Bc, Bxyz)."""
+    out = []
+    for i1, i2, padm in _superbatches(q1, q2, chunk):
+        blocks = kern(*tables, jnp.asarray(i1), jnp.asarray(i2))
+        out.append((blocks, i1.ravel(), i2.ravel(), padm))
+    return out
+
+
+def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
+                        oracle_blk, dtn, tag):
+    """Dispatch a class; on oracle mismatch retry through a differently
+    shaped (hence differently compiled) executable, then hard-fail.
+
+    tables_fn(bump) must return the device tables with every padding
+    floor multiplied by 2**bump — a new shape key selects a new XLA
+    executable, sidestepping a corrupt persistent-cache artifact."""
+    import sys
+    for bump in (0, 1, 2):
+        batches = _dispatch_class(kern, tables_fn(bump), q1, q2, chunk)
+        err, scale = _validate_batch(*batches[0], oracle_blk)
+        if err <= _spot_tol(scale, dtn):
+            if bump:
+                print(f"# cctpu: {tag}: recovered via floor bump x{2**bump}"
+                      f" (err {err:.2e})", file=sys.stderr, flush=True)
+            return batches
+        print(f"# cctpu: {tag}: device blocks deviate from host oracle by "
+              f"{err:.2e} (scale {scale:.1e}) — corrupt compiled executable;"
+              f" retrying with bumped padding floors", file=sys.stderr,
+              flush=True)
+    raise RuntimeError(
+        f"integral class {tag}: device kernel disagrees with the host "
+        f"oracle by {err:.2e} after 2 shape-perturbed recompiles")
+
+
 def _superbatches(q1: np.ndarray, q2: np.ndarray, chunk: int):
     """Split quartet index lists into fixed-size super-batches
     [(i1 [SB, chunk], i2 [SB, chunk], padm [N])]. N is _NBATCH, except a
@@ -216,6 +302,35 @@ def _superbatches(q1: np.ndarray, q2: np.ndarray, chunk: int):
     sb = N // chunk
     return [(q1[s:s + N].reshape(sb, chunk), q2[s:s + N].reshape(sb, chunk),
              padm[s:s + N]) for s in range(0, nb * N, N)]
+
+
+def _tables_3c(coords, gP, pc, de, dc, bump: int):
+    """Device tables for a (P|ab) class: aux floor 2048 << bump, AO-pair
+    floor 32768 << bump (the _pow2_rows default at bump 0)."""
+    fP = 2048 << bump
+    fAB = 32768 << bump
+    Pe = jnp.asarray(_pow2_rows(gP.exps, floor=fP))
+    Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=fP))
+    Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=fP))]
+    Ae = jnp.asarray(_pow2_rows(pc.exps_a, floor=fAB))
+    Ac = jnp.asarray(_pow2_rows(pc.coefs_a, floor=fAB))
+    Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a, floor=fAB))]
+    Be = jnp.asarray(_pow2_rows(pc.exps_b, floor=fAB))
+    Bc = jnp.asarray(_pow2_rows(pc.coefs_b, floor=fAB))
+    Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b, floor=fAB))]
+    return (Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz, Be, Bc, Bxyz)
+
+
+def _oracle_3c(coords_np, gP, lP, pc, omega):
+    from cctpu.ints.host_oracle import eri_3c2e_np
+
+    def blk(i, j):
+        return eri_3c2e_np(
+            lP, gP.exps[i], gP.coefs[i], coords_np[gP.atom_idx[i]],
+            pc.la, pc.exps_a[j], pc.coefs_a[j], coords_np[pc.atom_a[j]],
+            pc.lb, pc.exps_b[j], pc.coefs_b[j], coords_np[pc.atom_b[j]],
+            omega=omega)
+    return blk
 
 
 def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
@@ -243,6 +358,7 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
     q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
     dtn = jnp.dtype(dtype).name
 
+    coords_np = np.asarray(coords)
     if verbose:
         import sys
         import time as _t
@@ -250,9 +366,6 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
         sP = nsph(lP)
-        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
-        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
-        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for ipc, pc in enumerate(pcs):
             pair_sel = np.arange(pc.n, dtype=np.int64)
             if qs is not None:
@@ -261,12 +374,6 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
                     continue
             ls = (lP, 0, pc.la, pc.lb)
             kern = _class_batch_fn(ls, omega, dtn, False)
-            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
-            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
-            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
-            Be = jnp.asarray(_pow2_rows(pc.exps_b))
-            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
-            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
@@ -275,11 +382,12 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
-            for i1, i2, padm in _superbatches(q1, q2, chunk):
-                blocks = kern(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz,
-                              Be, Bc, Bxyz, jnp.asarray(i1),
-                              jnp.asarray(i2))
-                q1f, q2f = i1.ravel(), i2.ravel()
+            batches = _dispatch_validated(
+                kern, lambda b, gP=gP, pc=pc: _tables_3c(coords, gP, pc,
+                                                         de, dc, b),
+                q1, q2, chunk, _oracle_3c(coords_np, gP, lP, pc, omega),
+                dtn, f"3c2e {ls}")
+            for blocks, q1f, q2f, padm in batches:
                 P_idx = np.where(padm[:, None], naux,
                                  gP.ao_start[q1f][:, None] + np.arange(sP))
                 A_idx = np.where(padm[:, None], nao,
@@ -328,6 +436,7 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
     q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
     dtn = jnp.dtype(dtype).name
 
+    coords_np = np.asarray(coords)
     if verbose:
         import sys
         import time as _t
@@ -335,9 +444,6 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
         sP = nsph(lP)
-        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
-        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
-        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for ipc, pc in enumerate(pcs):
             pair_sel = np.arange(pc.n, dtype=np.int64)
             if qs is not None:
@@ -346,12 +452,6 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
                     continue
             ls = (lP, 0, pc.la, pc.lb)
             kern = _class_batch_fn(ls, omega, dtn, False)
-            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
-            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
-            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
-            Be = jnp.asarray(_pow2_rows(pc.exps_b))
-            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
-            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
@@ -360,12 +460,11 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
-            pending = []
-            for i1, i2, padm in _superbatches(q1, q2, chunk):
-                blocks_dev = kern(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz,
-                                  Be, Bc, Bxyz, jnp.asarray(i1),
-                                  jnp.asarray(i2))
-                pending.append((blocks_dev, i1.ravel(), i2.ravel(), padm))
+            pending = _dispatch_validated(
+                kern, lambda b, gP=gP, pc=pc: _tables_3c(coords, gP, pc,
+                                                         de, dc, b),
+                q1, q2, chunk, _oracle_3c(coords_np, gP, lP, pc, omega),
+                dtn, f"3c2e-h {ls}")
             for blocks_dev, q1f, q2f, padm in pending:
                 blocks = np.asarray(blocks_dev)[~padm]
                 q1r, q2r = q1f[~padm], q2f[~padm]
@@ -387,6 +486,7 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
     """(P|Q) metric via super-batched device kernels + host assembly
     (see build_3c2e_hostassemble for why)."""
     coords = jnp.asarray(coords)
+    coords_np = np.asarray(coords)
     naux = aux.nao
     out = np.zeros((naux, naux))
     de = jnp.asarray(_DUMMY_E)
@@ -394,14 +494,8 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
     ls_sorted = sorted(aux.groups)
     for i, lP in enumerate(ls_sorted):
         gP = aux.groups[lP]
-        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
-        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
-        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for lQ in ls_sorted[i:]:
             gQ = aux.groups[lQ]
-            Qe = jnp.asarray(_pow2_rows(gQ.exps, floor=2048))
-            Qc = jnp.asarray(_pow2_rows(gQ.coefs, floor=2048))
-            Qxyz = coords[jnp.asarray(_pow2_rows(gQ.atom_idx, floor=2048))]
             nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
             q1, q2 = np.mgrid[0:nP, 0:nQ]
             q1, q2 = q1.ravel(), q2.ravel()
@@ -413,13 +507,15 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
             chunk = _class_chunk(ls, gP.exps.shape[1], 1,
                                  gQ.exps.shape[1], 1)
             sP, sQ = nsph(lP), nsph(lQ)
-            for i1, i2, padm in _superbatches(q1, q2, chunk):
-                blocks = np.asarray(kern(Pe, Pc, Pxyz, de, dc, Qe, Qc,
-                                         Qxyz, de, dc, Qxyz,
-                                         jnp.asarray(i1),
-                                         jnp.asarray(i2)))[~padm]
-                q1r = i1.ravel()[~padm]
-                q2r = i2.ravel()[~padm]
+            batches = _dispatch_validated(
+                kern, lambda b, gP=gP, gQ=gQ: _tables_2c(coords, gP, gQ,
+                                                         de, dc, b),
+                q1, q2, chunk,
+                _oracle_2c(coords_np, gP, lP, gQ, lQ, omega),
+                "float64", f"2c2e-h {ls}")
+            for blocks_dev, q1f, q2f, padm in batches:
+                blocks = np.asarray(blocks_dev)[~padm]
+                q1r, q2r = q1f[~padm], q2f[~padm]
                 P_idx = gP.ao_start[q1r][:, None] + np.arange(sP)
                 Q_idx = gQ.ao_start[q2r][:, None] + np.arange(sQ)
                 out[P_idx[:, :, None], Q_idx[:, None, :]] = blocks
@@ -428,11 +524,36 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
     return out
 
 
+def _tables_2c(coords, gP, gQ, de, dc, bump: int):
+    """Device tables for a (P|Q) class at padding floor 2048 << bump."""
+    f = 2048 << bump
+    Pe = jnp.asarray(_pow2_rows(gP.exps, floor=f))
+    Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=f))
+    Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=f))]
+    Qe = jnp.asarray(_pow2_rows(gQ.exps, floor=f))
+    Qc = jnp.asarray(_pow2_rows(gQ.coefs, floor=f))
+    Qxyz = coords[jnp.asarray(_pow2_rows(gQ.atom_idx, floor=f))]
+    return (Pe, Pc, Pxyz, de, dc, Qe, Qc, Qxyz, de, dc, Qxyz)
+
+
+def _oracle_2c(coords_np, gP, lP, gQ, lQ, omega):
+    from cctpu.ints.host_oracle import eri_2c2e_np
+
+    def blk(i, j):
+        return eri_2c2e_np(
+            lP, gP.exps[i], gP.coefs[i], coords_np[gP.atom_idx[i]],
+            lQ, gQ.exps[j], gQ.coefs[j], coords_np[gQ.atom_idx[j]],
+            omega=omega)
+    return blk
+
+
 def build_2c2e_device(aux: BasisSet, coords,
                       omega: Optional[float] = None,
                       dtype=jnp.float64):
-    """(P|Q) Coulomb metric [naux, naux], device-resident assembly."""
+    """(P|Q) Coulomb metric [naux, naux], device-resident assembly,
+    every class spot-checked against the host oracle (see _SPOT_N)."""
     coords = jnp.asarray(coords)
+    coords_np = np.asarray(coords)
     naux = aux.nao
     out = jnp.zeros((naux + 1, naux + 1), dtype=dtype)
     de = jnp.asarray(_DUMMY_E)
@@ -441,14 +562,8 @@ def build_2c2e_device(aux: BasisSet, coords,
     dtn = jnp.dtype(dtype).name
     for i, lP in enumerate(ls_sorted):
         gP = aux.groups[lP]
-        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
-        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
-        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for lQ in ls_sorted[i:]:
             gQ = aux.groups[lQ]
-            Qe = jnp.asarray(_pow2_rows(gQ.exps, floor=2048))
-            Qc = jnp.asarray(_pow2_rows(gQ.coefs, floor=2048))
-            Qxyz = coords[jnp.asarray(_pow2_rows(gQ.atom_idx, floor=2048))]
             nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
             q1, q2 = np.mgrid[0:nP, 0:nQ]
             q1, q2 = q1.ravel(), q2.ravel()
@@ -460,11 +575,13 @@ def build_2c2e_device(aux: BasisSet, coords,
             chunk = _class_chunk(ls, gP.exps.shape[1], 1,
                                  gQ.exps.shape[1], 1)
             sP, sQ = nsph(lP), nsph(lQ)
-            for i1, i2, padm in _superbatches(q1, q2, chunk):
-                blocks = kern(Pe, Pc, Pxyz, de, dc, Qe, Qc, Qxyz,
-                              de, dc, Qxyz, jnp.asarray(i1),
-                              jnp.asarray(i2))
-                q1f, q2f = i1.ravel(), i2.ravel()
+            batches = _dispatch_validated(
+                kern, lambda b, gP=gP, gQ=gQ: _tables_2c(coords, gP, gQ,
+                                                         de, dc, b),
+                q1, q2, chunk,
+                _oracle_2c(coords_np, gP, lP, gQ, lQ, omega),
+                dtn, f"2c2e {ls}")
+            for blocks, q1f, q2f, padm in batches:
                 P_idx = np.where(padm[:, None], naux,
                                  gP.ao_start[q1f][:, None] + np.arange(sP))
                 Q_idx = np.where(padm[:, None], naux,

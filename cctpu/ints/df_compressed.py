@@ -32,7 +32,8 @@ import numpy as np
 
 from cctpu.core.basis import BasisSet, nsph
 from cctpu.ints.df import (_DUMMY_C, _DUMMY_E, _class_batch_fn, _pow2_rows,
-                           _aux_schwarz_max, _superbatches, autoaux,
+                           _aux_schwarz_max, _dispatch_validated, _oracle_3c,
+                           _superbatches, _tables_3c, autoaux,
                            build_2c2e_hostassemble, metric_factor)
 from cctpu.ints.two_electron import _class_chunk, pair_classes, schwarz_q
 
@@ -119,25 +120,17 @@ def build_3c2e_compressed(basis: BasisSet, aux: BasisSet, coords,
     if verbose:
         import sys
         import time as _t
+    coords_np = np.asarray(coords)
     for lP in sorted(aux.groups):
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
         sP = nsph(lP)
-        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
-        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
-        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for pc, keep, slots in zip(pm.pcs, pm.keep_masks, pm.slots):
             pair_sel = np.nonzero(keep)[0]
             if len(pair_sel) == 0:
                 continue
             ls = (lP, 0, pc.la, pc.lb)
             kern = _class_batch_fn(ls, omega, dtn, False)
-            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
-            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
-            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
-            Be = jnp.asarray(_pow2_rows(pc.exps_b))
-            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
-            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
@@ -146,11 +139,12 @@ def build_3c2e_compressed(basis: BasisSet, aux: BasisSet, coords,
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
-            for i1, i2, padm in _superbatches(q1, q2, chunk):
-                blocks = kern(Pe, Pc, Pxyz, de, dc, Ae, Ac, Axyz,
-                              Be, Bc, Bxyz, jnp.asarray(i1),
-                              jnp.asarray(i2))       # [N, sP, sa, sb]
-                q1f, q2f = i1.ravel(), i2.ravel()
+            batches = _dispatch_validated(
+                kern, lambda b, gP=gP, pc=pc: _tables_3c(coords, gP, pc,
+                                                         de, dc, b),
+                q1, q2, chunk, _oracle_3c(coords_np, gP, lP, pc, omega),
+                dtn, f"3c2e-c {ls}")
+            for blocks, q1f, q2f, padm in batches:
                 P_idx = np.where(padm[:, None], naux,
                                  gP.ao_start[q1f][:, None] + np.arange(sP))
                 S_idx = np.where(padm[:, None], pm.npair_pad,
@@ -184,25 +178,17 @@ def build_3c2e_compressed_hostassemble(basis: BasisSet, aux: BasisSet,
     if verbose:
         import sys
         import time as _t
+    coords_np = np.asarray(coords)
     for lP in sorted(aux.groups):
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
         sP = nsph(lP)
-        Pe = jnp.asarray(_pow2_rows(gP.exps, floor=2048))
-        Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=2048))
-        Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=2048))]
         for pc, keep, slots in zip(pm.pcs, pm.keep_masks, pm.slots):
             pair_sel = np.nonzero(keep)[0]
             if len(pair_sel) == 0:
                 continue
             ls = (lP, 0, pc.la, pc.lb)
             kern = _class_batch_fn(ls, omega, "float64", False)
-            Ae = jnp.asarray(_pow2_rows(pc.exps_a))
-            Ac = jnp.asarray(_pow2_rows(pc.coefs_a))
-            Axyz = coords[jnp.asarray(_pow2_rows(pc.atom_a))]
-            Be = jnp.asarray(_pow2_rows(pc.exps_b))
-            Bc = jnp.asarray(_pow2_rows(pc.coefs_b))
-            Bxyz = coords[jnp.asarray(_pow2_rows(pc.atom_b))]
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
@@ -211,12 +197,14 @@ def build_3c2e_compressed_hostassemble(basis: BasisSet, aux: BasisSet,
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
-            for i1, i2, padm in _superbatches(q1, q2, chunk):
-                blocks = np.asarray(kern(Pe, Pc, Pxyz, de, dc, Ae, Ac,
-                                         Axyz, Be, Bc, Bxyz,
-                                         jnp.asarray(i1),
-                                         jnp.asarray(i2)))[~padm]
-                q1f, q2f = i1.ravel()[~padm], i2.ravel()[~padm]
+            batches = _dispatch_validated(
+                kern, lambda b, gP=gP, pc=pc: _tables_3c(coords, gP, pc,
+                                                         de, dc, b),
+                q1, q2, chunk, _oracle_3c(coords_np, gP, lP, pc, omega),
+                "float64", f"3c2e-ch {ls}")
+            for blocks_dev, q1f, q2f, padm in batches:
+                blocks = np.asarray(blocks_dev)[~padm]
+                q1f, q2f = q1f[~padm], q2f[~padm]
                 P_idx = gP.ao_start[q1f][:, None] + np.arange(sP)
                 S_idx = slots[q2f]                        # [N, sa*sb]
                 out[P_idx[:, :, None],

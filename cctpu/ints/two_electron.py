@@ -72,10 +72,17 @@ def _sign_vec(lcd: int) -> np.ndarray:
 
 def eri_quartet_kernel(ls: Tuple[int, int, int, int],
                        eA, cA, A, eB, cB, B, eC, cC, C, eD, cD, D,
-                       omega: Optional[float] = None):
+                       omega: Optional[float] = None,
+                       split_dots: bool = False):
     """Contracted spherical ERI block [nsA,nsB,nsC,nsD] for one shell quartet.
 
     e*: [np*] exponents (padded with 1s), c*: [np*] coefficients (padded 0).
+
+    split_dots=True routes every contraction through the bf16 3-slice
+    error-compensated scheme (ops/splitdot.py): native MXU dots immune to
+    backend f64-dot handling, f32-grade output. PRIMAL-ONLY — the eager
+    superbatch builders (ints/df.py) use it; AD-traced paths must keep the
+    default f64 einsums.
     """
     la, lb, lc, ld = ls
     lab, lcd = la + lb, lc + ld
@@ -116,6 +123,21 @@ def eri_quartet_kernel(ls: Tuple[int, int, int, int],
     idx = jnp.asarray(_gather_idx(lab, lcd))           # [T1, T2]
     Rbig = Rb[:, :, idx]                               # [Kab, Kcd, T1, T2]
 
+    Ta = jnp.asarray(cart2sph(la))
+    Tb = jnp.asarray(cart2sph(lb))
+    Tc = jnp.asarray(cart2sph(lc))
+    Td = jnp.asarray(cart2sph(ld))
+
+    if split_dots:
+        from cctpu.ops.splitdot import split_einsum
+        tmp = split_einsum("kqxy,qcy->kxc", Rbig, Ek)   # [Kab, T1, ncd]
+        cart = split_einsum("kax,kxc->ac", Eb, tmp)     # [nab, ncd]
+        cart = cart.reshape(ncart(la), ncart(lb), ncart(lc), ncart(ld))
+        x = split_einsum("pa,abcd->pbcd", Ta, cart)
+        x = split_einsum("qb,pbcd->pqcd", Tb, x)
+        x = split_einsum("rc,pqcd->pqrd", Tc, x)
+        return split_einsum("sd,pqrd->pqrs", Td, x)
+
     # Contract: out[ab, cd] = sum_{Kab,Kcd,T1,T2} Eb*Rbig*Ek.
     # precision is pinned HIGHEST here (independent of the global default):
     # when the superbatch builders lax.map this kernel, XLA batches these
@@ -129,10 +151,6 @@ def eri_quartet_kernel(ls: Tuple[int, int, int, int],
                       precision=_PH)                   # [nab, ncd]
     cart = cart.reshape(ncart(la), ncart(lb), ncart(lc), ncart(ld))
 
-    Ta = jnp.asarray(cart2sph(la))
-    Tb = jnp.asarray(cart2sph(lb))
-    Tc = jnp.asarray(cart2sph(lc))
-    Td = jnp.asarray(cart2sph(ld))
     out = jnp.einsum("pa,qb,rc,sd,abcd->pqrs", Ta, Tb, Tc, Td, cart,
                      precision=_PH)
     return out
