@@ -49,17 +49,20 @@ def gradient(mf):
         platform = "cpu"
     df = getattr(mf, "density_fit", False)
     basis_df = df not in (False, None, "cd")   # 'cd' gradients go direct
-    if platform in ("tpu", "axon") and not basis_df:
-        return jnp.asarray(scf_gradient_eager(mf))
+    if platform in ("tpu", "axon"):
+        return jnp.asarray(scf_gradient_eager(mf, df=basis_df))
     return scf_gradient(mf)
 
 
-def scf_gradient_eager(mf) -> np.ndarray:
+def scf_gradient_eager(mf, df: bool = False) -> np.ndarray:
     """Nuclear gradient assembled term-by-term with per-class compiled
     pieces (TPU-friendly: no single giant module; serialized dispatch).
 
     Same math as scf_gradient; preferred on the axon TPU where one
-    whole-Lagrangian module overwhelms the remote compiler.
+    whole-Lagrangian module overwhelms the remote compiler. With
+    ``df=True`` the 2e term differentiates the DENSITY-FITTED energy
+    (grad/df_grad.py) — consistent with the production DF SCF and the
+    path the north-star SCF+gradient benchmark times.
     """
     from cctpu.ints.two_electron import energy_2e_grad_eager
 
@@ -80,15 +83,19 @@ def scf_gradient_eager(mf) -> np.ndarray:
                 - jnp.einsum("ij,ij->", W, ints["S"]))
 
     g = np.array(jax.grad(one_e)(jnp.asarray(mol.coords)))
-    g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=ax)
-    if func is not None and func.rsh is not None:
-        # LR exchange term: [E(J_lr - beta/2 K_lr)] - [E(J_lr)] isolates
-        # -beta/2 Tr[D K_lr D] with the existing attenuated builders
-        omega, _, beta_r = func.rsh
-        g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=beta_r,
-                                  omega=omega)
-        g -= energy_2e_grad_eager(basis, mol.coords, dm, k_weight=0.0,
-                                  omega=omega)
+    if df:
+        from cctpu.grad.df_grad import df_e2_gradient_eager
+        g += df_e2_gradient_eager(mf)     # includes the RSH LR term
+    else:
+        g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=ax)
+        if func is not None and func.rsh is not None:
+            # LR exchange term: [E(J_lr - beta/2 K_lr)] - [E(J_lr)]
+            # isolates -beta/2 Tr[D K_lr D] with the attenuated builders
+            omega, _, beta_r = func.rsh
+            g += energy_2e_grad_eager(basis, mol.coords, dm,
+                                      k_weight=beta_r, omega=omega)
+            g -= energy_2e_grad_eager(basis, mol.coords, dm, k_weight=0.0,
+                                      omega=omega)
     if func is not None and getattr(func, "dispersion", None):
         from cctpu.dft.dispersion import dispersion_energy
         g += np.asarray(jax.grad(

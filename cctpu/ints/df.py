@@ -30,7 +30,7 @@ from cctpu.ints.two_electron import (PairClass, _class_chunk,
                                      pair_classes)
 
 
-def _pow2_rows(a: np.ndarray, floor: int = 32768) -> np.ndarray:
+def _pow2_rows(a: np.ndarray, floor: Optional[int] = None) -> np.ndarray:
     """Pad axis 0 to max(floor, next power of two), repeating row 0.
 
     The gather kernels specialize on table SHAPES; a per-molecule shape
@@ -38,6 +38,8 @@ def _pow2_rows(a: np.ndarray, floor: int = 32768) -> np.ndarray:
     kernel on the remote TPU compiler). A fixed floor puts every system
     up to ~C24-alkane size in ONE bucket per class (the padding is a few
     MB of device memory; gathers only ever touch real rows)."""
+    if floor is None:
+        floor = _PAIR_FLOOR
     a = np.asarray(a)
     n = a.shape[0]
     m = max(floor, 1 << max(0, n - 1).bit_length())
@@ -123,9 +125,17 @@ def _pow2(n: int, floor: int = 1) -> int:
 # the lax.map), so the expensive remote compiles are keyed only on the
 # class — one compile EVER per (ls, chunk, dtype), reused across molecules
 # and rounds through the persistent cache. Small classes pay at most one
-# padded dispatch of wasted compute.
-_NBATCH = 65536
-_NBATCH_SMALL = 8192
+# padded dispatch of wasted compute. Env-overridable: the CPU test lane
+# (tests/conftest.py) shrinks these — executing TPU-sized padding for
+# ~50-quartet test molecules made the fast lane unusable (VERDICT r3 #6).
+_NBATCH = int(os.environ.get("CCTPU_NBATCH", "65536"))
+_NBATCH_SMALL = int(os.environ.get("CCTPU_NBATCH_SMALL", "8192"))
+
+# Gather-table padding floors (rows). Fixed floors put every system up to
+# ~C24 in ONE shape bucket per class (one compile ever); smaller floors
+# for the CPU test lane.
+_AUX_FLOOR = int(os.environ.get("CCTPU_AUX_FLOOR", "2048"))
+_PAIR_FLOOR = int(os.environ.get("CCTPU_PAIR_FLOOR", "32768"))
 
 
 def _split_default() -> bool:
@@ -253,6 +263,57 @@ def _dispatch_class(kern, tables, q1, q2, chunk):
     return out
 
 
+def _bump_memo_path():
+    try:
+        from cctpu import _cache_dir
+        return os.path.join(_cache_dir, "floor_bumps.json")
+    except Exception:
+        return None
+
+
+@lru_cache(maxsize=1)
+def _bump_memo() -> dict:
+    """Known-good padding-floor bumps per class, persisted alongside the
+    compile cache (same lifetime as the corrupt artifacts they dodge).
+    The axon miscompile is DETERMINISTIC per (class, shape): starting at
+    the remembered bump skips recompiling the corrupt executable on
+    every fresh build (~30-100 s per affected class)."""
+    path = _bump_memo_path()
+    if path and os.path.exists(path):
+        try:
+            import json
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            pass
+    return {}
+
+
+def _bump_memo_save(key: str, bump: int):
+    memo = _bump_memo()
+    memo[key] = bump
+    path = _bump_memo_path()
+    if path:
+        try:
+            import json
+            with open(path, "w") as f:
+                json.dump(memo, f)
+        except Exception:
+            pass
+
+
+def _bump_key(tag: str, chunk: int, dtn: str) -> str:
+    """Canonical memo key: builder-variant-independent (the 'h'/'c'
+    assembly suffixes share one executable per (class, shapes, dtype))."""
+    parts = tag.split(" ", 1)
+    base = parts[0]
+    for b in ("3c2e", "2c2e"):
+        if base.startswith(b):
+            base = b
+    rest = parts[1] if len(parts) > 1 else ""
+    return f"{base} {rest} chunk{chunk} {dtn}"
+
+
 def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
                         oracle_blk, dtn, tag):
     """Dispatch a class; on oracle mismatch retry through a differently
@@ -262,13 +323,17 @@ def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
     floor multiplied by 2**bump — a new shape key selects a new XLA
     executable, sidestepping a corrupt persistent-cache artifact."""
     import sys
-    for bump in (0, 1, 2):
+    key = _bump_key(tag, chunk, dtn)
+    start = int(_bump_memo().get(key, 0))
+    for bump in range(start, 3):
         batches = _dispatch_class(kern, tables_fn(bump), q1, q2, chunk)
         err, scale = _validate_batch(*batches[0], oracle_blk)
         if err <= _spot_tol(scale, dtn):
             if bump:
-                print(f"# cctpu: {tag}: recovered via floor bump x{2**bump}"
+                print(f"# cctpu: {tag}: ok at floor bump x{2**bump}"
                       f" (err {err:.2e})", file=sys.stderr, flush=True)
+            if bump != start:
+                _bump_memo_save(key, bump)
             return batches
         print(f"# cctpu: {tag}: device blocks deviate from host oracle by "
               f"{err:.2e} (scale {scale:.1e}) — corrupt compiled executable;"
@@ -305,10 +370,10 @@ def _superbatches(q1: np.ndarray, q2: np.ndarray, chunk: int):
 
 
 def _tables_3c(coords, gP, pc, de, dc, bump: int):
-    """Device tables for a (P|ab) class: aux floor 2048 << bump, AO-pair
-    floor 32768 << bump (the _pow2_rows default at bump 0)."""
-    fP = 2048 << bump
-    fAB = 32768 << bump
+    """Device tables for a (P|ab) class: aux floor _AUX_FLOOR << bump,
+    AO-pair floor _PAIR_FLOOR << bump."""
+    fP = _AUX_FLOOR << bump
+    fAB = _PAIR_FLOOR << bump
     Pe = jnp.asarray(_pow2_rows(gP.exps, floor=fP))
     Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=fP))
     Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=fP))]
@@ -333,39 +398,24 @@ def _oracle_3c(coords_np, gP, lP, pc, omega):
     return blk
 
 
-def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
-                      omega: Optional[float] = None,
-                      screen_tol: float = 1e-12,
-                      dtype=jnp.float64, verbose: bool = False):
-    """(P|ab) tensor [naux, nao, nao] assembled entirely on device.
+_COMPILE_THREADS = int(os.environ.get("CCTPU_COMPILE_THREADS", "4"))
 
-    Per (aux-l-group, AO-pair-class): one lax.map dispatch computes all
-    Schwarz-surviving quartets; two eager advanced-index scatters place the
-    blocks (and their ab<->ba mirrors) into a device-resident accumulator
-    whose padding row/col absorbs chunk padding. No integral data ever
-    crosses the host link. Replaces gpu4pyscf's CUDA int3c2e fill
-    (reference templates ride it via `density_fit()` —
-    /root/reference/templates/calculate_energy.py:151-156)."""
+
+def _specs_3c(basis: BasisSet, aux: BasisSet, coords, omega, dtn,
+              screen_tol):
+    """Enumerate every dispatched (aux-l-group, AO-pair-class) of a 3c2e
+    build: [(gP, lP, pc, ls, kern, q1, q2, chunk)]. Shared by the device
+    and host-assembled builders and by the AOT precompile pass so the
+    three can never drift apart."""
     from cctpu.ints.two_electron import schwarz_q
 
-    coords = jnp.asarray(coords)
-    naux, nao = aux.nao, basis.nao
-    out = jnp.zeros((naux + 1, nao + 1, nao + 1), dtype=dtype)
-    de = jnp.asarray(_DUMMY_E)
-    dc = jnp.asarray(_DUMMY_C)
     pcs = pair_classes(basis)
     qs = schwarz_q(pcs, coords) if screen_tol > 0 else None
     q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
-    dtn = jnp.dtype(dtype).name
-
-    coords_np = np.asarray(coords)
-    if verbose:
-        import sys
-        import time as _t
+    specs = []
     for lP in sorted(aux.groups):
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
-        sP = nsph(lP)
         for ipc, pc in enumerate(pcs):
             pair_sel = np.arange(pc.n, dtype=np.int64)
             if qs is not None:
@@ -379,6 +429,125 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
             q2 = pair_sel[q2.ravel()]
             chunk = _class_chunk(ls, gP.exps.shape[1], 1,
                                  pc.exps_a.shape[1], pc.exps_b.shape[1])
+            specs.append((gP, lP, pc, ls, kern, q1, q2, chunk))
+    return specs
+
+
+def _specs_2c(aux: BasisSet, omega, dtn):
+    """[(gP, lP, gQ, lQ, ls, kern, q1, q2, chunk)] for a 2c2e build."""
+    specs = []
+    ls_sorted = sorted(aux.groups)
+    for i, lP in enumerate(ls_sorted):
+        gP = aux.groups[lP]
+        for lQ in ls_sorted[i:]:
+            gQ = aux.groups[lQ]
+            nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
+            q1, q2 = np.mgrid[0:nP, 0:nQ]
+            q1, q2 = q1.ravel(), q2.ravel()
+            if lP == lQ:
+                keep = q1 <= q2
+                q1, q2 = q1[keep], q2[keep]
+            ls = (lP, 0, lQ, 0)
+            kern = _class_batch_fn(ls, omega, dtn, True)
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 gQ.exps.shape[1], 1)
+            specs.append((gP, lP, gQ, lQ, ls, kern, q1, q2, chunk))
+    return specs
+
+
+def _precompile(jobs, tag: str):
+    """Best-effort concurrent AOT compile of class kernels (bump-0 shapes).
+
+    Remote axon compiles mostly serialize server-side (scripts/
+    probe_parallel_compile.py: 4 threads -> ~1.3x throughput, 2 can even
+    regress), but the overlap still trims a cold family build; a warm
+    build pays only cheap persistent-cache probes. jobs: [(kern,
+    args_fn)] with args_fn() building the concrete argument tuple."""
+    if _COMPILE_THREADS <= 1 or len(jobs) <= 1:
+        return
+    import sys
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+    from cctpu.utils.deadline import check
+
+    t0 = _t.time()
+
+    def one(job):
+        kern, args_fn = job
+        try:
+            check("precompile")
+            kern.lower(*args_fn()).compile()
+        except Exception:
+            pass                     # dispatch will surface any real error
+
+    with ThreadPoolExecutor(_COMPILE_THREADS) as ex:
+        list(ex.map(one, jobs))
+    dt = _t.time() - t0
+    if dt > 5:
+        print(f"# cctpu: precompiled {len(jobs)} {tag} class kernels in "
+              f"{dt:.0f}s (threads={_COMPILE_THREADS})", file=sys.stderr,
+              flush=True)
+
+
+def _precompile_3c(specs, coords, de, dc, dtn="float64"):
+    def args_fn(gP, pc, ls, q1, q2, chunk):
+        # start at the memoized good bump so the known-corrupt bump-0
+        # executable of an affected class is never compiled again
+        b = int(_bump_memo().get(_bump_key(f"3c2e {ls}", chunk, dtn), 0))
+
+        def f():
+            i1, i2, _ = _superbatches(q1.astype(np.int32),
+                                      q2.astype(np.int32), chunk)[0]
+            return _tables_3c(coords, gP, pc, de, dc, b) + (
+                jnp.asarray(i1), jnp.asarray(i2))
+        return f
+    _precompile([(kern, args_fn(gP, pc, ls, q1, q2, chunk))
+                 for gP, lP, pc, ls, kern, q1, q2, chunk in specs], "3c2e")
+
+
+def _precompile_2c(specs, coords, de, dc, dtn="float64"):
+    def args_fn(gP, gQ, ls, q1, q2, chunk):
+        b = int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0))
+
+        def f():
+            i1, i2, _ = _superbatches(q1.astype(np.int32),
+                                      q2.astype(np.int32), chunk)[0]
+            return _tables_2c(coords, gP, gQ, de, dc, b) + (
+                jnp.asarray(i1), jnp.asarray(i2))
+        return f
+    _precompile([(kern, args_fn(gP, gQ, ls, q1, q2, chunk))
+                 for gP, lP, gQ, lQ, ls, kern, q1, q2, chunk in specs],
+                "2c2e")
+
+
+def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
+                      omega: Optional[float] = None,
+                      screen_tol: float = 1e-12,
+                      dtype=jnp.float64, verbose: bool = False):
+    """(P|ab) tensor [naux, nao, nao] assembled entirely on device.
+
+    Per (aux-l-group, AO-pair-class): one lax.map dispatch computes all
+    Schwarz-surviving quartets; two eager advanced-index scatters place the
+    blocks (and their ab<->ba mirrors) into a device-resident accumulator
+    whose padding row/col absorbs chunk padding. No integral data ever
+    crosses the host link. Replaces gpu4pyscf's CUDA int3c2e fill
+    (reference templates ride it via `density_fit()` —
+    /root/reference/templates/calculate_energy.py:151-156)."""
+    coords = jnp.asarray(coords)
+    naux, nao = aux.nao, basis.nao
+    out = jnp.zeros((naux + 1, nao + 1, nao + 1), dtype=dtype)
+    de = jnp.asarray(_DUMMY_E)
+    dc = jnp.asarray(_DUMMY_C)
+    dtn = jnp.dtype(dtype).name
+
+    coords_np = np.asarray(coords)
+    if verbose:
+        import sys
+        import time as _t
+    specs = _specs_3c(basis, aux, coords, omega, dtn, screen_tol)
+    _precompile_3c(specs, coords, de, dc, dtn)
+    for gP, lP, pc, ls, kern, q1, q2, chunk in specs:
+            sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
@@ -423,40 +592,22 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
     nothing extra here since the kernels' super-batches are pulled to
     host anyway; only the whitened B is uploaded.
     """
-    from cctpu.ints.two_electron import schwarz_q
-
     coords = jnp.asarray(coords)
     naux, nao = aux.nao, basis.nao
     np_dt = np.dtype(jnp.dtype(dtype).name)
     out = np.zeros((naux, nao, nao), dtype=np_dt)
     de = jnp.asarray(_DUMMY_E)
     dc = jnp.asarray(_DUMMY_C)
-    pcs = pair_classes(basis)
-    qs = schwarz_q(pcs, coords) if screen_tol > 0 else None
-    q_aux_max = _aux_schwarz_max(aux, coords) if screen_tol > 0 else 1.0
     dtn = jnp.dtype(dtype).name
 
     coords_np = np.asarray(coords)
     if verbose:
         import sys
         import time as _t
-    for lP in sorted(aux.groups):
-        gP = aux.groups[lP]
-        nP = len(gP.shell_idx)
-        sP = nsph(lP)
-        for ipc, pc in enumerate(pcs):
-            pair_sel = np.arange(pc.n, dtype=np.int64)
-            if qs is not None:
-                pair_sel = pair_sel[qs[ipc] * q_aux_max > screen_tol]
-                if len(pair_sel) == 0:
-                    continue
-            ls = (lP, 0, pc.la, pc.lb)
-            kern = _class_batch_fn(ls, omega, dtn, False)
-            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
-            q1 = q1.ravel()
-            q2 = pair_sel[q2.ravel()]
-            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
-                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+    specs = _specs_3c(basis, aux, coords, omega, dtn, screen_tol)
+    _precompile_3c(specs, coords, de, dc, dtn)
+    for gP, lP, pc, ls, kern, q1, q2, chunk in specs:
+            sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
@@ -491,21 +642,9 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
     out = np.zeros((naux, naux))
     de = jnp.asarray(_DUMMY_E)
     dc = jnp.asarray(_DUMMY_C)
-    ls_sorted = sorted(aux.groups)
-    for i, lP in enumerate(ls_sorted):
-        gP = aux.groups[lP]
-        for lQ in ls_sorted[i:]:
-            gQ = aux.groups[lQ]
-            nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
-            q1, q2 = np.mgrid[0:nP, 0:nQ]
-            q1, q2 = q1.ravel(), q2.ravel()
-            if lP == lQ:
-                keep = q1 <= q2
-                q1, q2 = q1[keep], q2[keep]
-            ls = (lP, 0, lQ, 0)
-            kern = _class_batch_fn(ls, omega, "float64", True)
-            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
-                                 gQ.exps.shape[1], 1)
+    specs = _specs_2c(aux, omega, "float64")
+    _precompile_2c(specs, coords, de, dc, "float64")
+    for gP, lP, gQ, lQ, ls, kern, q1, q2, chunk in specs:
             sP, sQ = nsph(lP), nsph(lQ)
             batches = _dispatch_validated(
                 kern, lambda b, gP=gP, gQ=gQ: _tables_2c(coords, gP, gQ,
@@ -525,8 +664,8 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
 
 
 def _tables_2c(coords, gP, gQ, de, dc, bump: int):
-    """Device tables for a (P|Q) class at padding floor 2048 << bump."""
-    f = 2048 << bump
+    """Device tables for a (P|Q) class at floor _AUX_FLOOR << bump."""
+    f = _AUX_FLOOR << bump
     Pe = jnp.asarray(_pow2_rows(gP.exps, floor=f))
     Pc = jnp.asarray(_pow2_rows(gP.coefs, floor=f))
     Pxyz = coords[jnp.asarray(_pow2_rows(gP.atom_idx, floor=f))]
@@ -558,22 +697,10 @@ def build_2c2e_device(aux: BasisSet, coords,
     out = jnp.zeros((naux + 1, naux + 1), dtype=dtype)
     de = jnp.asarray(_DUMMY_E)
     dc = jnp.asarray(_DUMMY_C)
-    ls_sorted = sorted(aux.groups)
     dtn = jnp.dtype(dtype).name
-    for i, lP in enumerate(ls_sorted):
-        gP = aux.groups[lP]
-        for lQ in ls_sorted[i:]:
-            gQ = aux.groups[lQ]
-            nP, nQ = len(gP.shell_idx), len(gQ.shell_idx)
-            q1, q2 = np.mgrid[0:nP, 0:nQ]
-            q1, q2 = q1.ravel(), q2.ravel()
-            if lP == lQ:
-                keep = q1 <= q2
-                q1, q2 = q1[keep], q2[keep]
-            ls = (lP, 0, lQ, 0)
-            kern = _class_batch_fn(ls, omega, dtn, True)
-            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
-                                 gQ.exps.shape[1], 1)
+    specs = _specs_2c(aux, omega, dtn)
+    _precompile_2c(specs, coords, de, dc, dtn)
+    for gP, lP, gQ, lQ, ls, kern, q1, q2, chunk in specs:
             sP, sQ = nsph(lP), nsph(lQ)
             batches = _dispatch_validated(
                 kern, lambda b, gP=gP, gQ=gQ: _tables_2c(coords, gP, gQ,
@@ -1197,6 +1324,9 @@ class DFJK(_BContractions):
         self.f64_exact = naux * nao * nao * 8 <= _X64_BUDGET_BYTES
         M = build_2c2e_hostassemble(self.aux, c)
         Linv = np.asarray(metric_factor(M))
+        # kept for the eager DF nuclear gradient (grad/df_grad.py): the
+        # 3-index and 2-index derivative weights need M^+ = Linv^T Linv
+        self._Linv = Linv
         X = build_3c2e_hostassemble(basis, self.aux, c)
         Bh = Linv @ X.reshape(naux, -1)              # host f64 dgemm
         del X
@@ -1296,6 +1426,7 @@ class DFJK(_BContractions):
             M = build_2c2e_hostassemble(self.aux, self._coords,
                                         omega=omega)
             Linv = np.asarray(metric_factor(M, rcond=1e-10))
+            self.__dict__.setdefault("_Linv_lr", {})[omega] = Linv
             Bh = Linv @ X.reshape(naux, -1)          # host f64 dgemm
             del X
             xdt = np.float64 if self.f64_exact else np.float32

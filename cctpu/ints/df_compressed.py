@@ -33,7 +33,7 @@ import numpy as np
 from cctpu.core.basis import BasisSet, nsph
 from cctpu.ints.df import (_DUMMY_C, _DUMMY_E, _class_batch_fn, _pow2_rows,
                            _aux_schwarz_max, _dispatch_validated, _oracle_3c,
-                           _superbatches, _tables_3c, autoaux,
+                           _precompile_3c, _superbatches, _tables_3c, autoaux,
                            build_2c2e_hostassemble, metric_factor)
 from cctpu.ints.two_electron import _class_chunk, pair_classes, schwarz_q
 
@@ -103,6 +103,29 @@ class PairMap:
         self.keep_masks = keep_parts
 
 
+def _specs_3c_compressed(aux: BasisSet, pm: PairMap, omega, dtn):
+    """[(gP, lP, pc, slots, ls, kern, q1, q2, chunk)] for a compressed
+    3c2e build — the analog of ints/df._specs_3c with the Schwarz-kept
+    pair selection coming from the PairMap."""
+    specs = []
+    for lP in sorted(aux.groups):
+        gP = aux.groups[lP]
+        nP = len(gP.shell_idx)
+        for pc, keep, slots in zip(pm.pcs, pm.keep_masks, pm.slots):
+            pair_sel = np.nonzero(keep)[0]
+            if len(pair_sel) == 0:
+                continue
+            ls = (lP, 0, pc.la, pc.lb)
+            kern = _class_batch_fn(ls, omega, dtn, False)
+            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
+            q1 = q1.ravel()
+            q2 = pair_sel[q2.ravel()]
+            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
+                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+            specs.append((gP, lP, pc, slots, ls, kern, q1, q2, chunk))
+    return specs
+
+
 def build_3c2e_compressed(basis: BasisSet, aux: BasisSet, coords,
                           pm: PairMap, omega: Optional[float] = None,
                           dtype=jnp.float32, verbose: bool = False):
@@ -121,21 +144,12 @@ def build_3c2e_compressed(basis: BasisSet, aux: BasisSet, coords,
         import sys
         import time as _t
     coords_np = np.asarray(coords)
-    for lP in sorted(aux.groups):
-        gP = aux.groups[lP]
-        nP = len(gP.shell_idx)
-        sP = nsph(lP)
-        for pc, keep, slots in zip(pm.pcs, pm.keep_masks, pm.slots):
-            pair_sel = np.nonzero(keep)[0]
-            if len(pair_sel) == 0:
-                continue
-            ls = (lP, 0, pc.la, pc.lb)
-            kern = _class_batch_fn(ls, omega, dtn, False)
-            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
-            q1 = q1.ravel()
-            q2 = pair_sel[q2.ravel()]
-            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
-                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+    specs = _specs_3c_compressed(aux, pm, omega, dtn)
+    _precompile_3c([(gP, lP, pc, ls, kern, q1, q2, chunk)
+                    for gP, lP, pc, _, ls, kern, q1, q2, chunk in specs],
+                   coords, de, dc, dtn)
+    for gP, lP, pc, slots, ls, kern, q1, q2, chunk in specs:
+            sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
@@ -179,21 +193,12 @@ def build_3c2e_compressed_hostassemble(basis: BasisSet, aux: BasisSet,
         import sys
         import time as _t
     coords_np = np.asarray(coords)
-    for lP in sorted(aux.groups):
-        gP = aux.groups[lP]
-        nP = len(gP.shell_idx)
-        sP = nsph(lP)
-        for pc, keep, slots in zip(pm.pcs, pm.keep_masks, pm.slots):
-            pair_sel = np.nonzero(keep)[0]
-            if len(pair_sel) == 0:
-                continue
-            ls = (lP, 0, pc.la, pc.lb)
-            kern = _class_batch_fn(ls, omega, "float64", False)
-            q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
-            q1 = q1.ravel()
-            q2 = pair_sel[q2.ravel()]
-            chunk = _class_chunk(ls, gP.exps.shape[1], 1,
-                                 pc.exps_a.shape[1], pc.exps_b.shape[1])
+    specs = _specs_3c_compressed(aux, pm, omega, "float64")
+    _precompile_3c([(gP, lP, pc, ls, kern, q1, q2, chunk)
+                    for gP, lP, pc, _, ls, kern, q1, q2, chunk in specs],
+                   coords, de, dc, "float64")
+    for gP, lP, pc, slots, ls, kern, q1, q2, chunk in specs:
+            sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
             if verbose:
                 _tk = _t.time()
@@ -319,6 +324,7 @@ class CompressedDFJK:
         self.pm = PairMap(basis, c, screen_tol=screen_tol / max(q_aux, 1e-30))
         M = build_2c2e_hostassemble(self.aux, c)
         Linv = np.asarray(metric_factor(M))
+        self._Linv = Linv       # for the eager DF gradient (grad/df_grad.py)
         X = build_3c2e_compressed_hostassemble(basis, self.aux, c, self.pm)
         # HOST f64 dgemm: the device has no f64-grade matmul and the
         # ill-conditioned Linv turns an f32-grade whitening into ~1e-2

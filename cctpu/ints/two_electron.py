@@ -20,6 +20,7 @@ long-range kernel.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
@@ -455,6 +456,23 @@ def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
     coords = jnp.asarray(coords)
     out = []
     pending = []           # async dispatch, materialized in one wave
+
+    def _args(pc, chunk):
+        def f():
+            sl = np.zeros(chunk, np.int64)
+            return (jnp.asarray(pc.exps_a[sl]), jnp.asarray(pc.coefs_a[sl]),
+                    coords[pc.atom_a[sl]],
+                    jnp.asarray(pc.exps_b[sl]), jnp.asarray(pc.coefs_b[sl]),
+                    coords[pc.atom_b[sl]]) * 2
+        return f
+
+    from cctpu.ints.df import _precompile
+    _precompile([(_quartet_vmapped((pc.la, pc.lb, pc.la, pc.lb), None),
+                  _args(pc, _class_chunk(
+                      (pc.la, pc.lb, pc.la, pc.lb),
+                      pc.exps_a.shape[1], pc.exps_b.shape[1],
+                      pc.exps_a.shape[1], pc.exps_b.shape[1])))
+                 for pc in pcs], "schwarz")
     for pc in pcs:
         ls = (pc.la, pc.lb, pc.la, pc.lb)
         vkern = _quartet_vmapped(ls, None)
@@ -504,7 +522,8 @@ def _class_chunk(ls, npA, npB, npC, npD, budget: int = 32_000_000) -> int:
     T2 = (ls[2] + ls[3] + 1) ** 3
     cost = max(npA * npB * npC * npD * T1 * T2,
                npA * npB * npC * npD * 16)
-    c = max(16, min(8192, budget // max(cost, 1)))
+    cap = int(os.environ.get("CCTPU_CHUNK_CAP", "8192"))
+    c = max(16, min(cap, budget // max(cost, 1)))
     # round to power of two for shape stability
     return 1 << (c.bit_length() - 1)
 
@@ -579,6 +598,26 @@ def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None):
     eri = np.zeros((nao, nao, nao, nao))
     pcs = pair_classes(basis)
 
+    def _args(p1, p2, chunk):
+        def f():
+            sl = np.zeros(chunk, np.int64)
+            return (jnp.asarray(p1.exps_a[sl]), jnp.asarray(p1.coefs_a[sl]),
+                    coords[p1.atom_a[sl]],
+                    jnp.asarray(p1.exps_b[sl]), jnp.asarray(p1.coefs_b[sl]),
+                    coords[p1.atom_b[sl]],
+                    jnp.asarray(p2.exps_a[sl]), jnp.asarray(p2.coefs_a[sl]),
+                    coords[p2.atom_a[sl]],
+                    jnp.asarray(p2.exps_b[sl]), jnp.asarray(p2.coefs_b[sl]),
+                    coords[p2.atom_b[sl]])
+        return f
+
+    from cctpu.ints.df import _precompile
+    _precompile([(_quartet_vmapped((p1.la, p1.lb, p2.la, p2.lb), omega),
+                  _args(p1, p2, _class_chunk(
+                      (p1.la, p1.lb, p2.la, p2.lb),
+                      p1.exps_a.shape[1], p1.exps_b.shape[1],
+                      p2.exps_a.shape[1], p2.exps_b.shape[1])))
+                 for i1, p1 in enumerate(pcs) for p2 in pcs[i1:]], "incore")
     for i1, p1 in enumerate(pcs):
         for p2 in pcs[i1:]:
             same = p1 is p2

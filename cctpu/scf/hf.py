@@ -494,6 +494,7 @@ class SCFBase:
                 self.mo_occ = self._occ(mo_e)
                 self.dm = dm
                 self.converged = conv32
+                self.n_cycles = cycle + 1
                 return self.e_tot
 
         diis = diis_init(o.diis_space, self._diis_size(dm))
@@ -529,6 +530,7 @@ class SCFBase:
         self.mo_coeff = mo_c
         self.mo_occ = self._occ(mo_e)
         self.dm = dm
+        self.n_cycles = cycle + 1
         if self.opts.verbose >= 1:
             tag = "converged" if self.converged else "NOT CONVERGED"
             print(f"SCF {tag}: E = {e_tot:.12f} Ha "

@@ -11,6 +11,18 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
+# Shrink the TPU-sized dispatch padding for the CPU lane: the production
+# floors (8192-quartet superbatches, 32768-row gather tables) exist to
+# give the remote TPU compiler ONE shape bucket per class, but on CPU
+# they made every DF/ERI test execute ~100x wasted quartets — the
+# "1 test per 10 CPU-minutes" fast-lane failure (VERDICT r3 weak #6).
+# Shapes only; identical math (pinned by the same value assertions).
+os.environ.setdefault("CCTPU_NBATCH", "2048")
+os.environ.setdefault("CCTPU_NBATCH_SMALL", "256")
+os.environ.setdefault("CCTPU_CHUNK_CAP", "256")
+os.environ.setdefault("CCTPU_AUX_FLOOR", "128")
+os.environ.setdefault("CCTPU_PAIR_FLOOR", "512")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
