@@ -161,6 +161,21 @@ def sad_energy(mf, e_nuc: float):
     parts["e2"] = round(float(e2), 6)
     e = e1 + float(e2) + e_nuc
     if not math.isfinite(e):
+        # isolate the non-finite component: J/K vs XC forward vs XC grad
+        try:
+            dm64 = dm.astype(jnp.float64)
+            J, K = mf._jk(dm64, with_k=True, cocc=cocc)
+            parts["J_finite"] = bool(jnp.isfinite(J).all())
+            parts["K_finite"] = bool(jnp.isfinite(K).all()
+                                     ) if K is not None else None
+            if hasattr(mf, "_exc_total"):
+                import jax as _jax
+                exc = float(mf._exc_total(dm64))
+                parts["exc"] = round(exc, 6)
+                _, vxc = _jax.value_and_grad(mf._exc_total)(dm64)
+                parts["vxc_finite"] = bool(jnp.isfinite(vxc).all())
+        except Exception as exc2:   # decomposition is best-effort
+            parts["decomp_error"] = str(exc2)[:100]
         return e, parts
     return e, None
 

@@ -125,6 +125,8 @@ def _g2c_chunk_fn(ls2, omega):
 def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
              qs=None):
     """Accumulate sum dX*W over all classes (eager chunked dispatch)."""
+    from cctpu.ints.df import _precompile
+
     coords = jnp.asarray(coords)
     nao = basis.nao
     naux = aux.nao
@@ -134,6 +136,8 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
     q_aux_max = _aux_schwarz_max(aux, coords)
     g = np.zeros(coords.shape)
     pending = []
+
+    specs = []
     for lP in sorted(aux.groups):
         gP = aux.groups[lP]
         nP = len(gP.shell_idx)
@@ -145,13 +149,33 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
+            chunk = _class_chunk((lP, 0, pc.la, pc.lb), gP.exps.shape[1],
+                                 1, pc.exps_a.shape[1], pc.exps_b.shape[1])
+            specs.append((gP, lP, pc, q1, q2, chunk))
+
+    def _aot_args(gP, pc, chunk):
+        def f():
+            z = np.zeros(chunk, np.int64)
+            zi = jnp.zeros(chunk, jnp.int64)
+            return (coords, Ws_pad, jnp.zeros(chunk),
+                    jnp.asarray(gP.exps[z]), jnp.asarray(gP.coefs[z]),
+                    jnp.asarray(gP.atom_idx[z]), zi,
+                    jnp.asarray(pc.exps_a[z]), jnp.asarray(pc.coefs_a[z]),
+                    jnp.asarray(pc.atom_a[z]), zi,
+                    jnp.asarray(pc.exps_b[z]), jnp.asarray(pc.coefs_b[z]),
+                    jnp.asarray(pc.atom_b[z]), zi)
+        return f
+
+    _precompile([(_g3c_chunk_fn((lP, pc.la, pc.lb), omega),
+                  _aot_args(gP, pc, chunk))
+                 for gP, lP, pc, q1, q2, chunk in specs], "3c2e-grad")
+
+    for gP, lP, pc, q1, q2, chunk in specs:
             same = (np.asarray(pc.ia)[q2] == np.asarray(pc.ib)[q2]) \
                 if pc.la == pc.lb else np.zeros(len(q2), bool)
             mult = np.where(same, 0.5, 1.0)
             ls3 = (lP, pc.la, pc.lb)
             gfn = _g3c_chunk_fn(ls3, omega)
-            chunk = _class_chunk((lP, 0, pc.la, pc.lb), gP.exps.shape[1],
-                                 1, pc.exps_a.shape[1], pc.exps_b.shape[1])
             nreal = len(q1)
             npad = (-nreal) % chunk
             q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
@@ -186,11 +210,15 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
 
 
 def _grad_2c(aux, coords, Zs_pad, omega):
+    from cctpu.ints.df import _precompile
+
     coords = jnp.asarray(coords)
     naux = aux.nao
     g = np.zeros(coords.shape)
     pending = []
     ls_sorted = sorted(aux.groups)
+
+    specs = []
     for i, lP in enumerate(ls_sorted):
         gP = aux.groups[lP]
         for lQ in ls_sorted[i:]:
@@ -204,9 +232,27 @@ def _grad_2c(aux, coords, Zs_pad, omega):
                 mult = np.where(q1 == q2, 0.5, 1.0)
             else:
                 mult = np.ones(len(q1))
-            gfn = _g2c_chunk_fn((lP, lQ), omega)
             chunk = _class_chunk((lP, 0, lQ, 0), gP.exps.shape[1], 1,
                                  gQ.exps.shape[1], 1)
+            specs.append((gP, lP, gQ, lQ, q1, q2, mult, chunk))
+
+    def _aot_args(gP, gQ, chunk):
+        def f():
+            z = np.zeros(chunk, np.int64)
+            zi = jnp.zeros(chunk, jnp.int64)
+            return (coords, Zs_pad, jnp.zeros(chunk),
+                    jnp.asarray(gP.exps[z]), jnp.asarray(gP.coefs[z]),
+                    jnp.asarray(gP.atom_idx[z]), zi,
+                    jnp.asarray(gQ.exps[z]), jnp.asarray(gQ.coefs[z]),
+                    jnp.asarray(gQ.atom_idx[z]), zi)
+        return f
+
+    _precompile([(_g2c_chunk_fn((lP, lQ), omega), _aot_args(gP, gQ, chunk))
+                 for gP, lP, gQ, lQ, q1, q2, mult, chunk in specs],
+                "2c2e-grad")
+
+    for gP, lP, gQ, lQ, q1, q2, mult, chunk in specs:
+            gfn = _g2c_chunk_fn((lP, lQ), omega)
             nreal = len(q1)
             npad = (-nreal) % chunk
             q1p = np.concatenate([q1, np.zeros(npad, np.int64)])

@@ -4,6 +4,13 @@ import os
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
+# CPU-sized dispatch padding (see tests/conftest.py): executing the TPU
+# shape floors on one CPU core wastes ~100x compute on small systems
+os.environ.setdefault("CCTPU_NBATCH", "2048")
+os.environ.setdefault("CCTPU_NBATCH_SMALL", "256")
+os.environ.setdefault("CCTPU_CHUNK_CAP", "256")
+os.environ.setdefault("CCTPU_AUX_FLOOR", "128")
+os.environ.setdefault("CCTPU_PAIR_FLOOR", "512")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
