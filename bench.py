@@ -231,8 +231,12 @@ def run_config(name, atoms, basis, grid_level, emit, max_cycle=45,
     # is unreachable at phenol scale; mixed precision = f32 MXU-native
     # iterations (Pallas DF-J/K) + f64 polish (1e-13 vs pure f64 on CPU)
     t_build0 = time.time()
+    # conv_tol_grad 1e-6: the default gate sqrt(conv_tol)=3e-4 let the
+    # r4 warm pass stop 4.6e-5 Ha from the fixed point while an identical
+    # run with a converged density (sustained-DIIS-error exit) landed at
+    # 1.4e-8 vs the host oracle (scripts/probe_grad_phenol.py)
     mf = RKS(mol, xc="b3lyp", density_fit=True, max_cycle=max_cycle,
-             conv_tol=1e-7, precision="mixed")
+             conv_tol=1e-7, conv_tol_grad=1e-6, precision="mixed")
     mf.grid_level = grid_level
     mf._setup_xc()
     _log(f"{name}: grids ready (+{time.time() - t_build0:.0f}s)")
@@ -364,6 +368,12 @@ def run_config(name, atoms, basis, grid_level, emit, max_cycle=45,
         try:
             _checkpoint("gradient compile+run")
             from cctpu.grad.scf_grad import gradient
+            # drop the f64 B uploaded for the f64 step timing — the
+            # gradient runs on B32 + host Linv, and the extra resident
+            # copy tipped the r4 warm pass into RESOURCE_EXHAUSTED
+            mf._jk._B64 = None
+            if getattr(mf._jk, "_B_cast", None) is not None:
+                mf._jk._B_cast = None
             t0 = time.time()
             g = _np.asarray(gradient(mf))
             t_first = time.time() - t0

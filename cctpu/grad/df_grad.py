@@ -166,7 +166,11 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
                     jnp.asarray(pc.atom_b[z]), zi)
         return f
 
-    _precompile([(_g3c_chunk_fn((lP, pc.la, pc.lb), omega),
+    _precompile([(f"g3 {(lP, pc.la, pc.lb)} om{omega} c{chunk} "
+                  f"na{coords.shape[0]},{naux},{nao} "
+                  f"p{gP.exps.shape[1]},{pc.exps_a.shape[1]},"
+                  f"{pc.exps_b.shape[1]}",
+                  _g3c_chunk_fn((lP, pc.la, pc.lb), omega),
                   _aot_args(gP, pc, chunk))
                  for gP, lP, pc, q1, q2, chunk in specs], "3c2e-grad")
 
@@ -247,7 +251,10 @@ def _grad_2c(aux, coords, Zs_pad, omega):
                     jnp.asarray(gQ.atom_idx[z]), zi)
         return f
 
-    _precompile([(_g2c_chunk_fn((lP, lQ), omega), _aot_args(gP, gQ, chunk))
+    _precompile([(f"g2 {(lP, lQ)} om{omega} c{chunk} "
+                  f"na{coords.shape[0]},{naux} "
+                  f"p{gP.exps.shape[1]},{gQ.exps.shape[1]}",
+                  _g2c_chunk_fn((lP, lQ), omega), _aot_args(gP, gQ, chunk))
                  for gP, lP, gQ, lQ, q1, q2, mult, chunk in specs],
                 "2c2e-grad")
 
@@ -349,14 +356,21 @@ def df_e2_gradient_eager(mf) -> np.ndarray:
                                     jnp.asarray(dms, f32))
         return _pad3(Ws), jnp.pad(Zs, ((0, 1), (0, 1)))
 
+    from cctpu.grad.scf_grad import _glog
+
     qs = getattr(jk, "_qs_grad", None)
     if qs is None:
         qs = schwarz_q(pair_classes(basis), mol.coords)
         jk._qs_grad = qs
+    _glog("df schwarz done")
 
     Ws_pad, Zs_pad = wz(jk._B32, ax)
+    Ws_pad.block_until_ready()
+    _glog("df W/Z assembled")
     g = _grad_3c(basis, jk.aux, mol.coords, Ws_pad, None, qs=qs)
+    _glog("df 3c done")
     g += _grad_2c(jk.aux, mol.coords, Zs_pad, None)
+    _glog("df 2c done")
 
     if func is not None and func.rsh is not None:
         omega_r, _, beta_r = func.rsh

@@ -25,6 +25,20 @@ from cctpu.ints.one_electron import build_int1e
 from cctpu.ints.two_electron import energy_2e_direct
 
 
+def _glog(phase: str):
+    """Opt-in gradient phase/memory logging (CCTPU_GRAD_LOG=1)."""
+    import os
+    if os.environ.get("CCTPU_GRAD_LOG", "0") != "1":
+        return
+    import sys
+    try:
+        st = jax.devices()[0].memory_stats()
+        mem = f"{st['bytes_in_use'] / 1e9:.2f}/{st['bytes_limit'] / 1e9:.0f} GB"
+    except Exception:
+        mem = "?"
+    print(f"# grad: {phase} (hbm {mem})", file=sys.stderr, flush=True)
+
+
 def _energy_weighted_dm(mf):
     if mf.mo_coeff.ndim == 3:        # unrestricted
         W = 0.0
@@ -82,10 +96,13 @@ def scf_gradient_eager(mf, df: bool = False) -> np.ndarray:
         return (jnp.einsum("ij,ij->", Dtot, ints["T"] + ints["V"])
                 - jnp.einsum("ij,ij->", W, ints["S"]))
 
+    _glog("1e start")
     g = np.array(jax.grad(one_e)(jnp.asarray(mol.coords)))
+    _glog("1e done")
     if df:
         from cctpu.grad.df_grad import df_e2_gradient_eager
         g += df_e2_gradient_eager(mf)     # includes the RSH LR term
+        _glog("df 2e done")
     else:
         g += energy_2e_grad_eager(basis, mol.coords, dm, k_weight=ax)
         if func is not None and func.rsh is not None:
@@ -102,13 +119,16 @@ def scf_gradient_eager(mf, df: bool = False) -> np.ndarray:
             lambda R: dispersion_energy(func, mol, R))(
                 jnp.asarray(mol.coords)))
     if has_xc:
+        _glog("xc start")
         g += np.asarray(jax.grad(
             lambda R: mf.exc_of_coords(R, dm))(jnp.asarray(mol.coords)))
+        _glog("xc done")
     if getattr(mf, "_pcm", None) is not None:
         g += np.asarray(jax.grad(
             lambda R: mf._pcm.energy(R, dm))(jnp.asarray(mol.coords)))
     g += np.asarray(jax.grad(
         lambda R: mol.energy_nuc(R))(jnp.asarray(mol.coords)))
+    _glog("all done")
     return g
 
 

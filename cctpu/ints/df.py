@@ -455,15 +455,54 @@ def _specs_2c(aux: BasisSet, omega, dtn):
     return specs
 
 
+@lru_cache(maxsize=1)
+def _precompiled_memo() -> set:
+    """Keys of kernels already AOT-compiled into the persistent cache.
+
+    Even a WARM precompile pass costs ~10-20 s per kernel in host-side
+    lowering + cache probing on this 1-CPU box (measured: 565 s for a
+    fully-cached 30-kernel family), so successful AOT compiles are
+    recorded next to the compile cache and skipped wholesale."""
+    path = _bump_memo_path()
+    if path:
+        p = path.replace("floor_bumps", "precompiled")
+        if os.path.exists(p):
+            try:
+                import json
+                with open(p) as f:
+                    return set(json.load(f))
+            except Exception:
+                pass
+    return set()
+
+
+def _precompiled_save(keys):
+    memo = _precompiled_memo()
+    memo.update(keys)
+    path = _bump_memo_path()
+    if path:
+        try:
+            import json
+            with open(path.replace("floor_bumps", "precompiled"), "w") as f:
+                json.dump(sorted(memo), f)
+        except Exception:
+            pass
+
+
 def _precompile(jobs, tag: str):
     """Best-effort concurrent AOT compile of class kernels (bump-0 shapes).
 
     Remote axon compiles mostly serialize server-side (scripts/
     probe_parallel_compile.py: 4 threads -> ~1.3x throughput, 2 can even
-    regress), but the overlap still trims a cold family build; a warm
-    build pays only cheap persistent-cache probes. jobs: [(kern,
-    args_fn)] with args_fn() building the concrete argument tuple."""
-    if _COMPILE_THREADS <= 1 or len(jobs) <= 1:
+    regress), but the overlap still trims a cold family build; warm
+    builds skip recorded keys entirely. jobs: [(key, kern, args_fn)]
+    with args_fn() building the concrete argument tuple; key=None means
+    always compile."""
+    if _COMPILE_THREADS <= 1:
+        return
+    done = _precompiled_memo()
+    jobs = [j for j in jobs if j[0] is None or j[0] not in done]
+    if not jobs:
         return
     import sys
     import time as _t
@@ -471,17 +510,22 @@ def _precompile(jobs, tag: str):
     from cctpu.utils.deadline import check
 
     t0 = _t.time()
+    ok_keys = []
 
     def one(job):
-        kern, args_fn = job
+        key, kern, args_fn = job
         try:
             check("precompile")
             kern.lower(*args_fn()).compile()
+            if key is not None:
+                ok_keys.append(key)
         except Exception:
             pass                     # dispatch will surface any real error
 
     with ThreadPoolExecutor(_COMPILE_THREADS) as ex:
         list(ex.map(one, jobs))
+    if ok_keys:
+        _precompiled_save(ok_keys)
     dt = _t.time() - t0
     if dt > 5:
         print(f"# cctpu: precompiled {len(jobs)} {tag} class kernels in "
@@ -489,7 +533,12 @@ def _precompile(jobs, tag: str):
               flush=True)
 
 
-def _precompile_3c(specs, coords, de, dc, dtn="float64"):
+def _sb_n(nq: int, chunk: int) -> int:
+    """The _superbatches N bucket for nq quartets (shape key)."""
+    return max(_NBATCH if nq > _NBATCH_SMALL else _NBATCH_SMALL, chunk)
+
+
+def _precompile_3c(specs, coords, de, dc, dtn="float64", omega=None):
     def args_fn(gP, pc, ls, q1, q2, chunk):
         # start at the memoized good bump so the known-corrupt bump-0
         # executable of an affected class is never compiled again
@@ -501,11 +550,19 @@ def _precompile_3c(specs, coords, de, dc, dtn="float64"):
             return _tables_3c(coords, gP, pc, de, dc, b) + (
                 jnp.asarray(i1), jnp.asarray(i2))
         return f
-    _precompile([(kern, args_fn(gP, pc, ls, q1, q2, chunk))
+
+    def key(gP, pc, ls, q1, chunk):
+        b = int(_bump_memo().get(_bump_key(f"3c2e {ls}", chunk, dtn), 0))
+        return (f"3c {ls} om{omega} {dtn} c{chunk} n{_sb_n(len(q1), chunk)}"
+                f" b{b} p{gP.exps.shape[1]},{pc.exps_a.shape[1]},"
+                f"{pc.exps_b.shape[1]} f{_AUX_FLOOR},{_PAIR_FLOOR}")
+
+    _precompile([(key(gP, pc, ls, q1, chunk),
+                  kern, args_fn(gP, pc, ls, q1, q2, chunk))
                  for gP, lP, pc, ls, kern, q1, q2, chunk in specs], "3c2e")
 
 
-def _precompile_2c(specs, coords, de, dc, dtn="float64"):
+def _precompile_2c(specs, coords, de, dc, dtn="float64", omega=None):
     def args_fn(gP, gQ, ls, q1, q2, chunk):
         b = int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0))
 
@@ -515,7 +572,15 @@ def _precompile_2c(specs, coords, de, dc, dtn="float64"):
             return _tables_2c(coords, gP, gQ, de, dc, b) + (
                 jnp.asarray(i1), jnp.asarray(i2))
         return f
-    _precompile([(kern, args_fn(gP, gQ, ls, q1, q2, chunk))
+
+    def key(gP, gQ, ls, q1, chunk):
+        b = int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0))
+        return (f"2c {ls} om{omega} {dtn} c{chunk} n{_sb_n(len(q1), chunk)}"
+                f" b{b} p{gP.exps.shape[1]},{gQ.exps.shape[1]}"
+                f" f{_AUX_FLOOR}")
+
+    _precompile([(key(gP, gQ, ls, q1, chunk),
+                  kern, args_fn(gP, gQ, ls, q1, q2, chunk))
                  for gP, lP, gQ, lQ, ls, kern, q1, q2, chunk in specs],
                 "2c2e")
 
@@ -545,7 +610,7 @@ def build_3c2e_device(basis: BasisSet, aux: BasisSet, coords,
         import sys
         import time as _t
     specs = _specs_3c(basis, aux, coords, omega, dtn, screen_tol)
-    _precompile_3c(specs, coords, de, dc, dtn)
+    _precompile_3c(specs, coords, de, dc, dtn, omega)
     for gP, lP, pc, ls, kern, q1, q2, chunk in specs:
             sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
@@ -605,7 +670,7 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
         import sys
         import time as _t
     specs = _specs_3c(basis, aux, coords, omega, dtn, screen_tol)
-    _precompile_3c(specs, coords, de, dc, dtn)
+    _precompile_3c(specs, coords, de, dc, dtn, omega)
     for gP, lP, pc, ls, kern, q1, q2, chunk in specs:
             sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
@@ -643,7 +708,7 @@ def build_2c2e_hostassemble(aux: BasisSet, coords,
     de = jnp.asarray(_DUMMY_E)
     dc = jnp.asarray(_DUMMY_C)
     specs = _specs_2c(aux, omega, "float64")
-    _precompile_2c(specs, coords, de, dc, "float64")
+    _precompile_2c(specs, coords, de, dc, "float64", omega)
     for gP, lP, gQ, lQ, ls, kern, q1, q2, chunk in specs:
             sP, sQ = nsph(lP), nsph(lQ)
             batches = _dispatch_validated(
@@ -699,7 +764,7 @@ def build_2c2e_device(aux: BasisSet, coords,
     dc = jnp.asarray(_DUMMY_C)
     dtn = jnp.dtype(dtype).name
     specs = _specs_2c(aux, omega, dtn)
-    _precompile_2c(specs, coords, de, dc, dtn)
+    _precompile_2c(specs, coords, de, dc, dtn, omega)
     for gP, lP, gQ, lQ, ls, kern, q1, q2, chunk in specs:
             sP, sQ = nsph(lP), nsph(lQ)
             batches = _dispatch_validated(

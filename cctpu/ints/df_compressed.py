@@ -147,7 +147,7 @@ def build_3c2e_compressed(basis: BasisSet, aux: BasisSet, coords,
     specs = _specs_3c_compressed(aux, pm, omega, dtn)
     _precompile_3c([(gP, lP, pc, ls, kern, q1, q2, chunk)
                     for gP, lP, pc, _, ls, kern, q1, q2, chunk in specs],
-                   coords, de, dc, dtn)
+                   coords, de, dc, dtn, omega)
     for gP, lP, pc, slots, ls, kern, q1, q2, chunk in specs:
             sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
@@ -196,7 +196,7 @@ def build_3c2e_compressed_hostassemble(basis: BasisSet, aux: BasisSet,
     specs = _specs_3c_compressed(aux, pm, omega, "float64")
     _precompile_3c([(gP, lP, pc, ls, kern, q1, q2, chunk)
                     for gP, lP, pc, _, ls, kern, q1, q2, chunk in specs],
-                   coords, de, dc, "float64")
+                   coords, de, dc, "float64", omega)
     for gP, lP, pc, slots, ls, kern, q1, q2, chunk in specs:
             sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)

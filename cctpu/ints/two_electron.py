@@ -467,12 +467,16 @@ def schwarz_q(pcs: List[PairClass], coords) -> List[np.ndarray]:
         return f
 
     from cctpu.ints.df import _precompile
-    _precompile([(_quartet_vmapped((pc.la, pc.lb, pc.la, pc.lb), None),
-                  _args(pc, _class_chunk(
-                      (pc.la, pc.lb, pc.la, pc.lb),
-                      pc.exps_a.shape[1], pc.exps_b.shape[1],
-                      pc.exps_a.shape[1], pc.exps_b.shape[1])))
-                 for pc in pcs], "schwarz")
+
+    def _sw_job(pc):
+        ls = (pc.la, pc.lb, pc.la, pc.lb)
+        chunk = _class_chunk(ls, pc.exps_a.shape[1], pc.exps_b.shape[1],
+                             pc.exps_a.shape[1], pc.exps_b.shape[1])
+        key = (f"sw {ls} c{chunk} "
+               f"p{pc.exps_a.shape[1]},{pc.exps_b.shape[1]}")
+        return (key, _quartet_vmapped(ls, None), _args(pc, chunk))
+
+    _precompile([_sw_job(pc) for pc in pcs], "schwarz")
     for pc in pcs:
         ls = (pc.la, pc.lb, pc.la, pc.lb)
         vkern = _quartet_vmapped(ls, None)
@@ -612,11 +616,17 @@ def build_eri_incore(basis: BasisSet, coords, omega: Optional[float] = None):
         return f
 
     from cctpu.ints.df import _precompile
-    _precompile([(_quartet_vmapped((p1.la, p1.lb, p2.la, p2.lb), omega),
-                  _args(p1, p2, _class_chunk(
-                      (p1.la, p1.lb, p2.la, p2.lb),
-                      p1.exps_a.shape[1], p1.exps_b.shape[1],
-                      p2.exps_a.shape[1], p2.exps_b.shape[1])))
+
+    def _ic_job(p1, p2):
+        ls = (p1.la, p1.lb, p2.la, p2.lb)
+        chunk = _class_chunk(ls, p1.exps_a.shape[1], p1.exps_b.shape[1],
+                             p2.exps_a.shape[1], p2.exps_b.shape[1])
+        key = (f"ic {ls} om{omega} c{chunk} p{p1.exps_a.shape[1]},"
+               f"{p1.exps_b.shape[1]},{p2.exps_a.shape[1]},"
+               f"{p2.exps_b.shape[1]}")
+        return (key, _quartet_vmapped(ls, omega), _args(p1, p2, chunk))
+
+    _precompile([_ic_job(p1, p2)
                  for i1, p1 in enumerate(pcs) for p2 in pcs[i1:]], "incore")
     for i1, p1 in enumerate(pcs):
         for p2 in pcs[i1:]:

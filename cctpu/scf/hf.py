@@ -503,6 +503,7 @@ class SCFBase:
 
         e_last = 0.0
         dm_last = dm
+        grad_ok = 0
         for cycle in range(o.max_cycle):
             dm_in = dm
             if o.damp > 0 and cycle > 0:
@@ -519,8 +520,14 @@ class SCFBase:
                       f"dE = {de: .3e}  |g| = {float(err_norm):.3e}")
             dm_last = dm
             dm = dm_new
-            if (abs(de) < conv_tol_eff and float(err_norm) < conv_tol_grad
-                    and cycle > 0):
+            # dE gate OR a sustained DIIS-error gate: on device the f64
+            # emulation's dE noise floor can sit AT conv_tol_eff and never
+            # coincide with it (r3 cd probe: 60 cycles, |dE|~3e-8 forever,
+            # converged=False); three consecutive cycles below the density
+            # gradient tolerance is the physically meaningful fixed point
+            grad_ok = grad_ok + 1 if float(err_norm) < conv_tol_grad else 0
+            if cycle > 0 and float(err_norm) < conv_tol_grad \
+                    and (abs(de) < conv_tol_eff or grad_ok >= 3):
                 self.converged = True
                 break
             e_last = e_tot
