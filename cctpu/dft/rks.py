@@ -196,9 +196,19 @@ class _XCMixin:
 
         def body(acc, chunk):
             pts, w = chunk
-            ao = eval_ao(basis, coords, pts, deriv=1)
-            return acc + self._chunk_exc_from_ao(func, restricted, dm, ao,
-                                                 w), None
+
+            # rematerialize per chunk: under jax.grad(exc_of_coords) the
+            # scan backward otherwise stores every chunk's eval_ao
+            # primitive intermediates — RESOURCE_EXHAUSTED on the 16 GB
+            # v5e at phenol (r5 gradient probe). Recompute-in-backward
+            # trades ~2x XC-gradient FLOPs for O(1-chunk) memory — the
+            # standard jax.checkpoint pattern for grid sweeps.
+            def one(coords_, dm_):
+                ao = eval_ao(basis, coords_, pts, deriv=1)
+                return self._chunk_exc_from_ao(func, restricted, dm_, ao,
+                                               w)
+
+            return acc + jax.checkpoint(one)(coords, dm), None
 
         total, _ = jax.lax.scan(body, 0.0, (pts_chunks, w_chunks))
         return total

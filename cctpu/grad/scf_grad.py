@@ -63,6 +63,20 @@ def gradient(mf):
         platform = "cpu"
     df = getattr(mf, "density_fit", False)
     basis_df = df not in (False, None, "cd")   # 'cd' gradients go direct
+    if basis_df and getattr(mf, "_jk", None) is not None \
+            and getattr(mf._jk, "_B32", None) is not None \
+            and mf._jk._B32.ndim != 3:
+        # CompressedDFJK stores B pair-compressed (2-D [naux, npair]);
+        # df_e2_gradient_eager assumes the dense [naux, nao, nao] layout
+        # (ADVICE r4 high). Until the compressed layout is supported,
+        # fall back to the traced DF Lagrangian (pre-r4 behavior) —
+        # slower and compile-heavy on the remote TPU, but correct.
+        import warnings
+        warnings.warn(
+            "cctpu.grad: compressed DF layout not yet supported by the "
+            "eager DF gradient; falling back to the traced path",
+            stacklevel=2)
+        return scf_gradient(mf)
     if platform in ("tpu", "axon"):
         return jnp.asarray(scf_gradient_eager(mf, df=basis_df))
     return scf_gradient(mf)

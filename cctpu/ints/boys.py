@@ -104,9 +104,18 @@ def boys(T: jnp.ndarray, mmax: int) -> jnp.ndarray:
     for k in range(_TAB_K - 1, -1, -1):
         f_gamma = tab[m + k][idx] - f_gamma * dT / (k + 1)
 
-    # Asymptotic branch.
+    # Asymptotic branch, in LOG space: the naive T**(2m+1) overflows the
+    # emulated-f64 exponent range (f32-bounded, ~1e38) already at
+    # T~2.6e2 for m=8 — and nuclear-attraction T reaches ~5e4 for tight
+    # 1s exponents. Forward inf was silently "fine" (1/inf -> 0), but
+    # the BACKWARD multiplies the unselected branch's inf derivative by
+    # a zero cotangent -> NaN: every jax.grad through a V/ERI integral
+    # NaN'd on device while CPU f64 (exponent ~1e308) never noticed
+    # (round-5 gradient probe). exp(-(m+1/2) log T) underflows to 0
+    # harmlessly and has finite derivatives everywhere.
     f_asym = (_double_factorial(2 * m - 1) / (2.0 ** (m + 1))
-              * jnp.sqrt(math.pi / T_asy ** (2 * m + 1)))
+              * math.sqrt(math.pi)
+              * jnp.exp(-(m + 0.5) * jnp.log(T_asy)))
 
     f_m = jnp.where(in_small, f_series,
                     jnp.where(in_large, f_asym, f_gamma))

@@ -289,29 +289,65 @@ def _bump_memo() -> dict:
     return {}
 
 
+def _atomic_json_save(path: str, merge, data):
+    """Atomic read-merge-write (tmp + os.replace): concurrent builders
+    (bench + a probe) must not clobber each other's memo entries
+    (ADVICE r4 low)."""
+    import json
+    try:
+        if os.path.exists(path):
+            with open(path) as f:
+                on_disk = json.load(f)
+        else:
+            on_disk = None
+        data = merge(on_disk, data)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def _bump_memo_save(key: str, bump: int):
     memo = _bump_memo()
     memo[key] = bump
     path = _bump_memo_path()
     if path:
-        try:
-            import json
-            with open(path, "w") as f:
-                json.dump(memo, f)
-        except Exception:
-            pass
+        def merge(on_disk, data):
+            if isinstance(on_disk, dict):
+                on_disk.update(data)
+                return on_disk
+            return data
+        _atomic_json_save(path, merge, memo)
 
 
 def _bump_key(tag: str, chunk: int, dtn: str) -> str:
     """Canonical memo key: builder-variant-independent (the 'h'/'c'
-    assembly suffixes share one executable per (class, shapes, dtype))."""
+    assembly suffixes share one executable per (class, shapes, dtype)).
+    Includes the padding floors: the corrupt-executable dodge is per
+    (class, SHAPE), and CPU-lane runs override the floors via env
+    (ADVICE r4 low) — a bump memoized under production floors must not
+    be replayed under test floors."""
     parts = tag.split(" ", 1)
     base = parts[0]
     for b in ("3c2e", "2c2e"):
         if base.startswith(b):
             base = b
     rest = parts[1] if len(parts) > 1 else ""
-    return f"{base} {rest} chunk{chunk} {dtn}"
+    return (f"{base} {rest} chunk{chunk} {dtn} "
+            f"f{_AUX_FLOOR},{_PAIR_FLOOR}")
+
+
+_PHASE_LOG = os.environ.get("CCTPU_PHASE_LOG", "0") == "1"
+
+
+def _plog(tag, phase, t0):
+    if _PHASE_LOG:
+        import sys
+        import time as _t
+        print(f"# cctpu-phase: {tag} {phase} {_t.time() - t0:6.2f}s",
+              file=sys.stderr, flush=True)
 
 
 def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
@@ -323,11 +359,21 @@ def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
     floor multiplied by 2**bump — a new shape key selects a new XLA
     executable, sidestepping a corrupt persistent-cache artifact."""
     import sys
+    import time as _t
     key = _bump_key(tag, chunk, dtn)
     start = int(_bump_memo().get(key, 0))
     for bump in range(start, 3):
-        batches = _dispatch_class(kern, tables_fn(bump), q1, q2, chunk)
+        t0 = _t.time()
+        tables = tables_fn(bump)
+        _plog(tag, "tables", t0)
+        t0 = _t.time()
+        batches = _dispatch_class(kern, tables, q1, q2, chunk)
+        if _PHASE_LOG:
+            batches[0][0].block_until_ready()
+        _plog(tag, "dispatch", t0)
+        t0 = _t.time()
         err, scale = _validate_batch(*batches[0], oracle_blk)
+        _plog(tag, "validate", t0)
         if err <= _spot_tol(scale, dtn):
             if bump:
                 print(f"# cctpu: {tag}: ok at floor bump x{2**bump}"
@@ -481,12 +527,12 @@ def _precompiled_save(keys):
     memo.update(keys)
     path = _bump_memo_path()
     if path:
-        try:
-            import json
-            with open(path.replace("floor_bumps", "precompiled"), "w") as f:
-                json.dump(sorted(memo), f)
-        except Exception:
-            pass
+        def merge(on_disk, data):
+            if isinstance(on_disk, list):
+                return sorted(set(on_disk) | set(data))
+            return data
+        _atomic_json_save(path.replace("floor_bumps", "precompiled"),
+                          merge, sorted(memo))
 
 
 def _precompile(jobs, tag: str):
@@ -511,11 +557,21 @@ def _precompile(jobs, tag: str):
 
     t0 = _t.time()
     ok_keys = []
+    aborted = []                     # deadline flag shared across workers
 
     def one(job):
         key, kern, args_fn = job
+        if aborted:
+            return
         try:
             check("precompile")
+        except TimeoutError:
+            # past the cooperative deadline: stop the whole pass instead
+            # of paying 10-20 s host-side per remaining job (ADVICE r4
+            # low) — dispatch still compiles on demand if anyone asks
+            aborted.append(True)
+            return
+        try:
             kern.lower(*args_fn()).compile()
             if key is not None:
                 ok_keys.append(key)
@@ -671,6 +727,25 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
         import time as _t
     specs = _specs_3c(basis, aux, coords, omega, dtn, screen_tol)
     _precompile_3c(specs, coords, de, dc, dtn, omega)
+
+    def _assemble(gP, pc, sP, sa, sb, pending):
+        for blocks_dev, q1f, q2f, padm in pending:
+            blocks = np.asarray(blocks_dev)[~padm]
+            q1r, q2r = q1f[~padm], q2f[~padm]
+            P_idx = gP.ao_start[q1r][:, None] + np.arange(sP)
+            A_idx = pc.ao_a[q2r][:, None] + np.arange(sa)
+            B_idx = pc.ao_b[q2r][:, None] + np.arange(sb)
+            out[P_idx[:, :, None, None], A_idx[:, None, :, None],
+                B_idx[:, None, None, :]] = blocks
+            out[P_idx[:, :, None, None], B_idx[:, None, :, None],
+                A_idx[:, None, None, :]] = blocks.swapaxes(2, 3)
+
+    # one-class-deep pull/assemble pipeline: start the device->host
+    # copies of class k asynchronously, dispatch class k+1, and only
+    # then materialize k — the tunnel transfer of one class overlaps
+    # the next class's kernel execution (r5 warm-path audit: pulls +
+    # host assembly were a large share of the ~600 s warm build)
+    deferred = None
     for gP, lP, pc, ls, kern, q1, q2, chunk in specs:
             sP = nsph(lP)
             sa, sb = nsph(pc.la), nsph(pc.lb)
@@ -681,19 +756,19 @@ def build_3c2e_hostassemble(basis: BasisSet, aux: BasisSet, coords,
                                                          de, dc, b),
                 q1, q2, chunk, _oracle_3c(coords_np, gP, lP, pc, omega),
                 dtn, f"3c2e-h {ls}")
-            for blocks_dev, q1f, q2f, padm in pending:
-                blocks = np.asarray(blocks_dev)[~padm]
-                q1r, q2r = q1f[~padm], q2f[~padm]
-                P_idx = gP.ao_start[q1r][:, None] + np.arange(sP)
-                A_idx = pc.ao_a[q2r][:, None] + np.arange(sa)
-                B_idx = pc.ao_b[q2r][:, None] + np.arange(sb)
-                out[P_idx[:, :, None, None], A_idx[:, None, :, None],
-                    B_idx[:, None, None, :]] = blocks
-                out[P_idx[:, :, None, None], B_idx[:, None, :, None],
-                    A_idx[:, None, None, :]] = blocks.swapaxes(2, 3)
+            for blocks_dev, _, _, _ in pending:
+                try:
+                    blocks_dev.copy_to_host_async()
+                except Exception:
+                    pass             # async copy is a hint, not required
+            if deferred is not None:
+                _assemble(*deferred)
+            deferred = (gP, pc, sP, sa, sb, pending)
             if verbose:
                 print(f"#   3c2e-h ls={ls} nq={len(q1)} chunk={chunk} "
                       f"{_t.time() - _tk:.1f}s", file=sys.stderr, flush=True)
+    if deferred is not None:
+        _assemble(*deferred)
     return out
 
 

@@ -184,17 +184,46 @@ def occ_uhf(mo_energy, nalpha: int, nbeta: int):
 # Core SCF machinery (functional, fully traced per cycle)
 # ----------------------------------------------------------------------------
 
-def _orthogonalizer(S):
-    s, U = jnp.linalg.eigh(S)
+def _orthogonalizer(S, variant: int = 0):
+    """Canonical orthogonalizer X = U s^{-1/2} (X^T S X = I), computed
+    with HOST numpy f64 eigh.
+
+    Host placement is load-bearing twice over (round-5 fixed-point
+    audit): (a) the device's emulated-f64 eigh is exactly the component
+    that returned NaN factors for the SAD density and its accuracy is
+    per-compiled-executable; a corrupted X shifts the SCF fixed point
+    non-variationally (measured: -4.6e-5 Ha at phenol). (b) X is baked
+    into the jitted SCF step as an HLO *constant*, and device-eigh
+    output bytes are not run-to-run stable — every process got a fresh
+    step cache key, i.e. a fresh roll of the corrupt-executable dice.
+    Host numpy is exact, fast ([nao, nao], once per geometry) and
+    bit-deterministic, so step executables cache across processes.
+
+    ``variant`` permutes X's columns (still X^T S X = I, identical SCF
+    math) to force a DIFFERENT step executable — the shape-bump-style
+    dodge for a miscompiled step (see kernel()'s step validation).
+    """
+    dtype = S.dtype
+    s, U = np.linalg.eigh(np.asarray(S, dtype=np.float64))
     keep = s > 1e-10
-    s_inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, s, 1.0)), 0.0)
-    return U * s_inv_sqrt[None, :]
+    s_inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, s, 1.0)), 0.0)
+    X = U * s_inv_sqrt[None, :]
+    if variant:
+        n = X.shape[1]
+        rng = np.random.default_rng(variant)
+        X = X[:, rng.permutation(n)]
+    return jnp.asarray(X).astype(dtype)
 
 
 def _fock_eig(F, X):
     Fp = X.T @ F @ X
     e, Cp = jnp.linalg.eigh(Fp)
     return e, X @ Cp
+
+
+# step executables validated against the eager+host reference this process:
+# {((class, dtype, H-hash), orthogonalizer-variant), ...}
+_STEP_VALIDATED: set = set()
 
 
 # auto-shard threshold for SCFOptions.shard_aux=None: f32 B bytes above
@@ -316,10 +345,17 @@ class SCFBase:
         columns scaled by sqrt(eigenvalue). Exact for idempotent dm; for a
         guess dm the truncation error only perturbs the first Fock."""
         def one(d, nocc):
-            w, U = jnp.linalg.eigh(d)
-            w = jnp.clip(w[::-1], 0.0, None)
+            # HOST numpy eigh: the axon device's emulated-f64 eigh returns
+            # NaN eigenvectors for the rank-deficient SAD guess density
+            # (round-5 probe_sad_nan.py: dm finite, cocc NaN — the "SAD
+            # anchor NaN" of rounds 3-4). This factorization is eager,
+            # one-shot and [nao, nao] — host f64 is exact and free.
+            d_np = np.asarray(d, dtype=np.float64)
+            w, U = np.linalg.eigh(d_np)
+            w = np.clip(w[::-1], 0.0, None)
             U = U[:, ::-1]
-            return U[:, :nocc] * jnp.sqrt(w[None, :nocc])
+            return jnp.asarray(
+                U[:, :nocc] * np.sqrt(w[None, :nocc])).astype(d.dtype)
         if dm.ndim == 3:
             return (one(dm[0], max(self.mol.nalpha, 1)),
                     one(dm[1], max(self.mol.nbeta, 1)))
@@ -416,13 +452,149 @@ class SCFBase:
 
         return jax.jit(step)
 
+    _validate_dm_new = True      # ROHF's effective-Fock dm differs; it skips
+
+    def _step_reference(self, dm):
+        """Trusted one-step reference at ``dm``: eager f64 Fock (the path
+        the SAD anchor pins to ~3e-7) + host numpy assembly. Returns
+        (e_elec_ref, err_norm_fn(X), F64) — err depends on X variant."""
+        dm64 = dm.astype(jnp.float64)
+        veff, e2 = self.get_veff(dm64, cocc=self._factor_cocc(dm64))
+        veff = np.asarray(veff, dtype=np.float64)
+        Hnp = np.asarray(self.build_ints()["T"]
+                         + self.build_ints()["V"], dtype=np.float64)
+        Snp = np.asarray(self.build_ints()["S"], dtype=np.float64)
+        dmn = np.asarray(dm64, dtype=np.float64)
+        spin = dmn.ndim == 3
+        if spin:
+            F = Hnp[None] + veff
+            e1 = float(np.einsum("sij,ij->", dmn, Hnp))
+        else:
+            F = Hnp + veff
+            e1 = float(np.einsum("ij,ij->", dmn, Hnp))
+        e_ref = e1 + float(e2)
+
+        def err_norm_ref(Xnp):
+            if spin:
+                errs = []
+                for s in range(2):
+                    sdf = Snp @ dmn[s] @ F[s]
+                    errs.append(Xnp.T @ (sdf - sdf.T) @ Xnp)
+                return float(np.linalg.norm(np.stack(errs)))
+            sdf = Snp @ dmn @ F
+            return float(np.linalg.norm(Xnp.T @ (sdf - sdf.T) @ Xnp))
+
+        return e_ref, err_norm_ref, F
+
+    def _host_next_dm(self, F, Xnp):
+        """HOST-eigh dm update mirroring the step's (use_diis=False, no
+        level shift): the reference for the step's dm_new."""
+        def one(F_s, occs):
+            Fp = Xnp.T @ F_s @ Xnp
+            _, C = np.linalg.eigh(Fp)
+            C = Xnp @ C
+            return (C * occs[None, :]) @ C.T
+        n = Xnp.shape[1]
+        if F.ndim == 3:
+            occ_a = (np.arange(n) < self.mol.nalpha) * 1.0
+            occ_b = (np.arange(n) < self.mol.nbeta) * 1.0
+            return np.stack([one(F[0], occ_a), one(F[1], occ_b)])
+        occ = (np.arange(n) < self.mol.nelectron // 2) * 2.0
+        return one(F, occ)
+
+    def _make_validated_step(self, H, S, dtype, dm, cocc, ref=None):
+        """Build the jitted SCF step for ``dtype`` and VALIDATE its first
+        application against the eager-f64 + host-eigh reference before
+        trusting it for the whole solve.
+
+        Round-5 finding: the axon backend's corrupt-compiled-executable
+        disease (round 4: one 2c2e class) also strikes SCF STEP
+        executables — a bad roll stalls the f32 DIIS at |g|~8.6e-3 and
+        shifts the f64 fixed point 4.6e-5 Ha BELOW the variational
+        minimum. A miscompiled step is dodged by re-tracing with a
+        column-permuted orthogonalizer (identical math, new executable).
+        Validation is skipped off-TPU, under level_shift (the reference
+        doesn't model it), and for step executables already validated
+        this process.
+        """
+        import hashlib
+        import sys
+        from cctpu.ops.df_jk_pallas import _on_tpu
+        o = self.opts
+        f32 = jnp.dtype(dtype) == jnp.float32
+        Hd, Sd = H.astype(dtype), S.astype(dtype)
+        validate = (_on_tpu() and not o.level_shift
+                    and os.environ.get("CCTPU_STEP_VALIDATE", "1") == "1")
+        key = None
+        if validate:
+            key = (type(self).__name__, jnp.dtype(dtype).name,
+                   hashlib.sha1(np.asarray(
+                       Hd, np.float64).tobytes()).hexdigest()[:12])
+        last = None
+        for variant in range(3):
+            X = _orthogonalizer(Sd, variant)
+            step = self._jit_step(Hd, Sd, X)
+            if not validate or (key, variant) in _STEP_VALIDATED:
+                return step, X
+            if ref is None:
+                ref = self._step_reference(dm)
+            e_ref, err_fn, F_ref = ref
+            dm_d = dm.astype(dtype)
+            cocc_d = jax.tree.map(lambda c: c.astype(dtype), cocc)
+            diis = diis_init(o.diis_space, self._diis_size(dm), dtype=dtype)
+            consts = self._step_consts(dtype)
+            with jax.default_matmul_precision("highest"):
+                (_, dm_new, _, e_elec, err_norm, mo_e,
+                 _) = step(consts, diis, dm_d, cocc_d, jnp.asarray(False))
+            e_step = float(e_elec)
+            g_step = float(err_norm)
+            Xnp = np.asarray(X, dtype=np.float64)
+            g_ref = err_fn(Xnp)
+            scale = abs(e_ref) + 1.0
+            tol_e = 3e-5 * scale if f32 else max(1e-5, 1e-8 * scale)
+            tol_g = (0.3 if f32 else 0.05) * max(g_ref, 1e-6) + \
+                (1e-2 if f32 else 1e-6)
+            checks = [("e_elec", abs(e_step - e_ref), tol_e),
+                      ("err_norm", abs(g_step - g_ref), tol_g)]
+            if self._validate_dm_new:
+                moe = np.sort(np.asarray(mo_e, np.float64).ravel())
+                gap_ok = True
+                try:
+                    nocc = (self.mol.nelectron // 2 if dm_d.ndim == 2
+                            else self.mol.nbeta)
+                    gap_ok = moe[nocc] - moe[nocc - 1] > 1e-3
+                except Exception:
+                    pass
+                if gap_ok:
+                    dm_ref = self._host_next_dm(F_ref, Xnp)
+                    d_dm = float(np.abs(np.asarray(
+                        dm_new, np.float64) - dm_ref).max())
+                    # device-vs-host dm noise is eigh-sensitivity bound
+                    # (~|dF|/gap): measured ~2e-5 at phenol for HEALTHY
+                    # f64 executables; corruption shows at O(1e-2)+
+                    checks.append(("dm_new", d_dm, 1e-2 if f32 else 1e-3))
+            bad = [(nm, d, t) for nm, d, t in checks if not d <= t]
+            if not bad:
+                _STEP_VALIDATED.add((key, variant))
+                if variant:
+                    print(f"# cctpu: SCF {jnp.dtype(dtype).name} step ok "
+                          f"at orthogonalizer variant {variant}",
+                          file=sys.stderr, flush=True)
+                return step, X
+            last = bad
+            print(f"# cctpu: SCF {jnp.dtype(dtype).name} step executable "
+                  f"FAILED validation {bad} — retracing with permuted "
+                  f"orthogonalizer", file=sys.stderr, flush=True)
+        raise RuntimeError(
+            f"SCF step disagrees with the eager+host reference after 3 "
+            f"orthogonalizer variants: {last}")
+
     # -- main loop -------------------------------------------------------------
     def kernel(self, dm0=None) -> float:
         o = self.opts
         ints = self.build_ints()
         S = ints["S"]
         H = ints["T"] + ints["V"]
-        X = _orthogonalizer(S)
         self.get_jk_builder()
 
         dm = jnp.asarray(dm0) if dm0 is not None else self.init_guess_dm()
@@ -445,9 +617,19 @@ class SCFBase:
         if _on_tpu():
             e_scale = abs(float(self.mol.energy_nuc())) + 1.0
             conv_tol_eff = max(o.conv_tol, 3e-9 * e_scale)
+            # the DIIS error norm has its own device floor: the "f64"
+            # einsums building F are f32-grade (HIGHEST ~1.7e-7 relative,
+            # micro_probe P4b), so err_norm plateaus around 1e-6*nao and
+            # bounces when DIIS extrapolates noise-dominated error
+            # vectors (measured r5 at phenol: |g| floor ~2.5e-5 with
+            # excursions to 1e-2 while E is pinned to +-7e-7). A
+            # conv_tol_grad below this floor would spin max_cycle times
+            # for nothing — the dE gate carries the precision burden.
+            conv_tol_grad = max(conv_tol_grad, 1e-6 * self.mol.nao)
 
         t0 = time.time()
         cycle = 0
+        self._n_cycles_f32 = 0
         cocc = self._factor_cocc(dm)
         if o.precision in ("mixed", "f32"):
             # phase 1: native-f32 iterations (MXU speed); the DIIS error
@@ -458,8 +640,7 @@ class SCFBase:
                 self._jk.prepare_dtype(f32)
             if hasattr(self, "_prepare_xc_f32"):
                 self._prepare_xc_f32()
-            step32 = self._jit_step(H.astype(f32), S.astype(f32),
-                                    _orthogonalizer(S.astype(f32)))
+            step32, _X32 = self._make_validated_step(H, S, f32, dm, cocc)
             consts32 = self._step_consts(f32)
             diis32 = diis_init(o.diis_space, self._diis_size(dm),
                                dtype=f32)
@@ -467,6 +648,8 @@ class SCFBase:
             cocc32 = jax.tree.map(lambda c: c.astype(f32), cocc)
             e_last = 0.0
             conv32 = False
+            best_err = float("inf")
+            best_age = 0
             for cycle in range(o.max_cycle):
                 use_diis = cycle >= o.diis_start
                 # 'highest' matmul precision: TPU f32 matmuls default to
@@ -484,9 +667,25 @@ class SCFBase:
                 if abs(de) < 1e-6 and float(err_norm) < 3e-5 and cycle > 0:
                     conv32 = True
                     break
+                # stall exit: the f32 error floor is system-dependent
+                # (ill-conditioned aux metrics floor it around 1e-2*||g0||
+                # — measured 8.6e-3 at phenol); once the error stops
+                # improving, further f32 cycles only burn host-sync
+                # latency that the f64 polish does not need
+                g = float(err_norm)
+                if g < 0.8 * best_err:
+                    best_err, best_age = g, 0
+                else:
+                    best_age += 1
+                    if best_age >= 8 and cycle >= o.diis_start + 8:
+                        if o.verbose >= 2:
+                            print(f"f32 phase stalled at |g| ~ "
+                                  f"{best_err:.1e}; handing to f64")
+                        break
                 e_last = e_tot
             dm = dm32.astype(jnp.float64)
             cocc = jax.tree.map(lambda c: c.astype(jnp.float64), cocc32)
+            self._n_cycles_f32 = cycle + 1
             if o.precision == "f32":
                 self.e_tot = e_tot
                 self.mo_energy = mo_e
@@ -498,7 +697,7 @@ class SCFBase:
                 return self.e_tot
 
         diis = diis_init(o.diis_space, self._diis_size(dm))
-        step = self._jit_step(H, S, X)
+        step, X = self._make_validated_step(H, S, jnp.float64, dm, cocc)
         consts = self._step_consts(jnp.float64)
 
         e_last = 0.0
@@ -525,7 +724,16 @@ class SCFBase:
             # coincide with it (r3 cd probe: 60 cycles, |dE|~3e-8 forever,
             # converged=False); three consecutive cycles below the density
             # gradient tolerance is the physically meaningful fixed point
-            grad_ok = grad_ok + 1 if float(err_norm) < conv_tol_grad else 0
+            # the dE-waiving escape (grad_ok >= 3) gates on a STRICTER
+            # threshold than the plain conv_tol_grad: at the default
+            # sqrt(conv_tol) ~ 3e-4 the r4 warm pass stopped 4.6e-5 Ha
+            # from the fixed point (ADVICE r4 medium) — library users on
+            # defaults must not silently get looser convergence. On
+            # device, "stricter" is bounded by the hardware error floor
+            # (see conv_tol_grad above): 1e-6 there would never count.
+            grad_tight = (conv_tol_grad if _on_tpu()
+                          else min(conv_tol_grad, 1e-6))
+            grad_ok = grad_ok + 1 if float(err_norm) < grad_tight else 0
             if cycle > 0 and float(err_norm) < conv_tol_grad \
                     and (abs(de) < conv_tol_eff or grad_ok >= 3):
                 self.converged = True
@@ -537,7 +745,9 @@ class SCFBase:
         self.mo_coeff = mo_c
         self.mo_occ = self._occ(mo_e)
         self.dm = dm
-        self.n_cycles = cycle + 1
+        # total work per solve: f32 phase cycles (mixed precision) count
+        # toward the per-geometry-iteration cost the bench models
+        self.n_cycles = cycle + 1 + getattr(self, "_n_cycles_f32", 0)
         if self.opts.verbose >= 1:
             tag = "converged" if self.converged else "NOT CONVERGED"
             print(f"SCF {tag}: E = {e_tot:.12f} Ha "
@@ -708,6 +918,9 @@ class ROHF(UHF):
     """Restricted open-shell HF via Roothaan's effective Fock matrix."""
 
     restricted = True
+    # the effective-Fock dm update differs from the plain per-spin eigh
+    # that _host_next_dm models; step validation checks e/err only
+    _validate_dm_new = False
 
     def _diis_size(self, dm) -> int:
         return int(np.prod(dm.shape[1:]))

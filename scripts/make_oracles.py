@@ -54,6 +54,27 @@ def main(argv):
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
+    if "--conv" in names:
+        # CONVERGED host-f64 oracle (bench ORACLES "<stage>__e_conv"):
+        # regenerate after ANY integrals/aux/basis change — the r2-era
+        # hardcoded phenol value silently went stale when the r4 metric
+        # fix moved the kept-aux count 1673 -> 1770 (~5e-5 Ha surface
+        # shift), which masqueraded as a device convergence failure for
+        # the whole of round 5's first bench rehearsal.
+        names.remove("--conv")
+        for name in [n for n in names if n in stages]:
+            _, atoms, basis, _, _ = stages[name]
+            mol = Molecule.from_atoms(atoms, basis=basis)
+            mf = RKS(mol, xc="b3lyp", density_fit=True, max_cycle=80,
+                     conv_tol=1e-10, precision="f64")
+            mf.grid_level = 2
+            e = float(mf.kernel())
+            assert mf.converged, name
+            out[f"{name}__e_conv"] = e
+            print(f"# {name}__e_conv = {e:.12f} "
+                  f"naux={int(mf._jk._B32.shape[0])}", flush=True)
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
     if "--cd" in names:
         # host-f64 reference for the device 1e-8 contract probe
         names.remove("--cd")
@@ -77,7 +98,7 @@ def main(argv):
         print(f"# {name}: nao={mol.nao} "
               f"naux={int(mf._jk._B32.shape[0])} "
               f"built in {time.time() - t0:.0f}s", flush=True)
-        e = bench.sad_energy(mf, float(mol.energy_nuc()))
+        e, _parts = bench.sad_energy(mf, float(mol.energy_nuc()))
         out[name] = e
         print(f"# {name}: E_SAD = {e:.9f} ({time.time() - t0:.0f}s)",
               flush=True)

@@ -8,6 +8,8 @@ from cctpu.core.basis import parse_nwchem
 from cctpu.core.molecule import Molecule
 
 
+
+@pytest.mark.smoke
 def test_sto3g_covers_through_argon_plus_heavy():
     table = parse_nwchem(get_basis_text("sto-3g"))
     for el in ("Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar",
@@ -19,6 +21,7 @@ def test_sto3g_covers_through_argon_plus_heavy():
     assert len(s_shells) == 3 and len(p_shells) == 2
 
 
+@pytest.mark.smoke
 def test_631g_second_row_ao_counts():
     # S 6-31G: [4s,3p]... -> 16 spherical AOs? (3s + 2x3p = 3+6... )
     mol = Molecule.from_atoms("S 0 0 0", basis="6-31g")
@@ -30,12 +33,14 @@ def test_631g_second_row_ao_counts():
     assert mol.nao == 22          # + diffuse sp (4)
 
 
+@pytest.mark.smoke
 def test_def2_tzvp_carbon_ao_count():
     mol = Molecule.from_atoms("C 0 0 0", basis="def2-tzvp")
     # 5s + 3p + 2d + 1f = 5 + 9 + 10 + 7 = 31 spherical AOs
     assert mol.nao == 31
 
 
+@pytest.mark.smoke
 def test_minao_guess_heavy_elements():
     """Aufbau minao guess covers S/Cl/Br (round-1 stopped at Ne)."""
     from cctpu.scf.hf import _minao_guess
@@ -49,12 +54,14 @@ def test_minao_guess_heavy_elements():
         assert np.all(np.isfinite(dm))
 
 
+@pytest.mark.smoke
 def test_per_element_fallback_logged(capsys):
     mol = Molecule.from_atoms("S 0 0 0; H 0 1 1; H 0 -1 1",
                               basis="def2-tzvp")
     assert mol.nao > 0            # S fell back down the chain, H real
 
 
+@pytest.mark.smoke
 def test_def2_tzvp_fallback_enriched_to_2d1f():
     """Elements missing from the embedded def2-TZVP get the fallback basis
     upgraded with split-d + f polarization (TZ-quality), not plain
@@ -141,6 +148,7 @@ def test_def2_tzvp_derived_atomic_energies(el):
     assert 0 < e - HF_LIMIT[el] < 0.015, (el, e)
 
 
+@pytest.mark.smoke
 def test_def2_tzvp_sulfur_embedded_no_fallback(capsys):
     """A def2-TZVP S molecule must build without a basis-fallback log."""
     mol = Molecule.from_atoms("S 0 0 0; H 0 0 1.34; H 1.26 0 -0.45",

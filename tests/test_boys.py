@@ -1,5 +1,7 @@
 """Boys function accuracy across regimes and orders."""
 
+import pytest
+
 import math
 
 import numpy as np
@@ -7,6 +9,8 @@ import scipy.special as ss
 import jax.numpy as jnp
 
 from cctpu.ints.boys import boys
+
+pytestmark = pytest.mark.smoke
 
 
 def _ref(m, T):

@@ -9,6 +9,7 @@ from cctpu.core.molecule import Molecule
 from cctpu.geomopt.optimizer import _project_tr, optimize
 
 
+@pytest.mark.smoke
 def test_project_tr_removes_rigid_components():
     rng = np.random.default_rng(0)
     coords = rng.normal(size=(4, 3))
@@ -25,6 +26,7 @@ def test_project_tr_removes_rigid_components():
     assert np.linalg.norm(gp) <= np.linalg.norm(g) + 1e-12
 
 
+@pytest.mark.smoke
 def test_project_tr_keeps_internal_gradient():
     # a pure bond-stretch gradient of water has no rigid component at all
     coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.8],

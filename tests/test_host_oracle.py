@@ -13,6 +13,8 @@ from cctpu.ints.two_electron import eri_quartet_kernel
 from cctpu.ints.host_oracle import (eri_2c2e_np, eri_3c2e_np,
                                     eri_bra_ket_np)
 
+pytestmark = pytest.mark.smoke
+
 A = np.array([0.0, 0.1, -0.2])
 B = np.array([0.9, -0.4, 0.3])
 DUM_E = np.array([0.0])

@@ -12,6 +12,8 @@ import pytest
 from cctpu.io.embed3d import embed_molecule, smiles_to_xyz
 from cctpu.io.smiles import parse_smiles
 
+pytestmark = pytest.mark.smoke
+
 
 def _signed_volume(coords, n0, n1, n2, n3):
     r0, r1, r2, r3 = (np.asarray(coords[k]) for k in (n0, n1, n2, n3))

@@ -16,6 +16,7 @@ def test_energy_workflow(tmp_path):
     assert any("log_report" in f for f in outs)
 
 
+@pytest.mark.smoke
 def test_smiles_front_end_formulas():
     from cctpu.io.smiles import parse_smiles
     cases = {
