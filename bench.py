@@ -223,7 +223,7 @@ def contract_probe():
 
 
 def run_config(name, atoms, basis, grid_level, emit, max_cycle=45,
-               n_timed=8, solve=True):
+               n_timed=8, solve=True, extra_base=None):
     import jax
     import jax.numpy as jnp
     from cctpu.core.molecule import Molecule
@@ -308,7 +308,8 @@ def run_config(name, atoms, basis, grid_level, emit, max_cycle=45,
         "value": round(per_iter, 4),
         "unit": "s/cycle",
         "vs_baseline": 0.0,
-        "extra": {"e_tot": (float(e) if solve else None),
+        "extra": {**(extra_base or {}),
+                  "e_tot": (float(e) if solve else None),
                   "converged": bool(mf.converged),
                   "nao": int(mol.nao), "naux": naux_b,
                   "layout": (f"compressed(npair={mf._jk._B32.shape[1]})"
@@ -396,13 +397,21 @@ def run_config(name, atoms, basis, grid_level, emit, max_cycle=45,
             t0 = time.time()
             g = _np.asarray(gradient(mf))
             t_first = time.time() - t0
-            _checkpoint("gradient steady-state")
-            t0 = time.time()
-            g2 = _np.asarray(gradient(mf))
-            grad_s = time.time() - t0
             n_cyc = int(getattr(mf, "n_cycles", 0) or 15)
             ex = result["extra"]
             ex["grad_s_first_incl_compile"] = round(t_first, 1)
+            emit(result)        # first-call timing on record immediately
+            if left() > 0.8 * t_first + 60:
+                _checkpoint("gradient steady-state")
+                t0 = time.time()
+                g2 = _np.asarray(gradient(mf))
+                grad_s = time.time() - t0
+            else:
+                # not enough budget for a clean steady-state repeat:
+                # report the first call (includes executable loads) and
+                # flag it rather than losing the metric entirely
+                g2, grad_s = g, t_first
+                ex["grad_s_is_first_call"] = True
             ex["grad_s"] = round(grad_s, 2)
             ex["grad_repeat_max_dev"] = float(_np.abs(g - g2).max())
             ex["grad_max_abs_Ha_bohr"] = round(float(_np.abs(g).max()), 6)
@@ -539,7 +548,21 @@ def main():
     # run/wrapper (possibly already in the past) would make every
     # _superbatches call raise immediately, zeroing out all stages
     os.environ["CCTPU_DEADLINE_TS"] = str(T_START + BUDGET_S)
+    # the 1e-8 accuracy contract (VERDICT r4 #7) runs FIRST: it is cheap
+    # warm (~1-2 min) and must not depend on how much budget the phenol
+    # gradient stage consumes (it ran out twice in r5 rehearsals)
     contract_done = False
+    cd = None
+    if BUDGET_S > 600:
+        try:
+            signal.alarm(max(int(min(left() - 60, 420)), 1))
+            cd = contract_probe()
+            _log(f"cd contract: {cd}")
+        except BaseException as exc:
+            cd = {"error": str(exc)[:120]}
+        finally:
+            signal.alarm(0)
+        contract_done = True
     for name, atoms, basis, frac_gate, solve in stages:
         if state["result"] is not None and \
                 (time.time() - T_START) > BUDGET_S * frac_gate:
@@ -549,18 +572,21 @@ def main():
             # line for the best completed stage still prints
             signal.alarm(max(int(left()), 1))
             r = run_config(name, atoms, basis, grid_level=2, solve=solve,
-                           emit=emit)
+                           emit=emit,
+                           extra_base=({"cd_contract": cd} if cd else None))
             signal.alarm(0)
             if not contract_done and left() > 120:
                 try:
                     signal.alarm(max(int(left()) - 30, 1))
-                    r["extra"]["cd_contract"] = contract_probe()
-                    _log(f"cd contract: {r['extra']['cd_contract']}")
+                    cd = contract_probe()
+                    _log(f"cd contract: {cd}")
                 except BaseException as exc:
-                    r["extra"]["cd_contract"] = {"error": str(exc)[:120]}
+                    cd = {"error": str(exc)[:120]}
                 finally:
                     signal.alarm(0)
                 contract_done = True
+            if cd is not None:
+                r["extra"]["cd_contract"] = cd
             r["extra"]["stage_s"] = round(time.time() - T_START, 1)
             if state["result"] is not None:
                 r["extra"]["prev"] = {

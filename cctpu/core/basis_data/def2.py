@@ -2,13 +2,14 @@
 
 Embedded tables: H, C, N, O are the published Weigend-Ahlrichs rows (the
 elements dominating the reference's BDE-db2 protocol molecules,
-templates/calculate_bde.py:502-505 defaults M06-2X/def2-TZVP). S (and
-other rows tagged "derived by scripts/derive_basis.py") are zero-egress
+templates/calculate_bde.py:502-505 defaults M06-2X/def2-TZVP). S and Cl are zero-egress
 re-derivations of the def2 construction: atomic-UHF-optimized
 well-tempered primitives at the published (14s,9p)+2d1f composition,
-embedded uncontracted with the validated atomic energy pinned in
-tests/test_basis_data.py (S: 10.7 mHa above the Hartree-Fock limit —
-published def2-TZVP grade). Elements not embedded fall back per-element
+CONTRACTED to [8s5p2d1f] by scripts/contract_derived.py (core natural
+radial orbitals as general contractions over the full primitive lists,
+valence free; contraction loss 0.62/1.85 mHa) with the validated atomic
+energy pinned in tests/test_basis_data.py (S: 4.9 / Cl: 3.7 mHa above
+the Hartree-Fock limit — published def2-TZVP grade). Elements not embedded fall back per-element
 down the chain 6-311G** -> 6-31G** with a logged warning (core/basis.py).
 """
 
@@ -116,116 +117,148 @@ O    D
        0.6450000   1.0000000
 O    F
        1.4280000   1.0000000
-# S: derived by scripts/derive_basis.py (atomic-UHF-optimized well-tempered primitives,
-# uncontracted, def2-TZVP-composition polarization; E_atom_UHF = -397.494238 Ha,
-# pinned in tests/test_basis_data.py)
+# S: derived primitives (scripts/derive_basis.py well-tempered atomic-UHF
+# ladder) CONTRACTED by scripts/contract_derived.py: 1s/2s natural radial
+# orbitals as general contractions over the full s/p primitive lists,
+# valence primitives free -> [8s5p2d1f] (38->40 spherical AOs vs 58
+# uncontracted). Contraction loss 0.62 mHa; E_atom_UHF = -397.499980 Ha
+# (4.9 mHa above the HF limit -397.504896 - published def2-TZVP grade),
+# pinned in tests/test_basis_data.py
 S    S
-         82889.5182302    1.0000000000
+           82889.5182302   -0.0003207401
+           18170.9112649   -0.0012470234
+            6506.3441992   -0.0036898467
+            2460.8704836   -0.0122980412
+             934.1543041   -0.0393337710
+             354.6728442   -0.1170777369
+             134.6605055   -0.2911300619
+              51.1272722   -0.4581697089
+              19.4117641   -0.2447342774
+               7.3701680    0.0136254616
+               2.7982710    0.0307443366
+               1.0624345    0.0104510009
+               0.4033802   -0.0021991069
+               0.1531535    0.0001506162
 S    S
-         18170.9112649    1.0000000000
+           82889.5182302    0.0000708040
+           18170.9112649    0.0002754786
+            6506.3441992    0.0008187453
+            2460.8704836    0.0027469441
+             934.1543041    0.0089861036
+             354.6728442    0.0281938870
+             134.6605055    0.0802136943
+              51.1272722    0.1753702772
+              19.4117641    0.1521102763
+               7.3701680   -0.3606756484
+               2.7982710   -0.6942243618
+               1.0624345   -0.1354273878
+               0.4033802    0.0098137246
+               0.1531535    0.0042759275
 S    S
-          6506.3441992    1.0000000000
+              19.4117641    1.0000000000
 S    S
-          2460.8704836    1.0000000000
+               7.3701680    1.0000000000
 S    S
-           934.1543041    1.0000000000
+               2.7982710    1.0000000000
 S    S
-           354.6728442    1.0000000000
+               1.0624345    1.0000000000
 S    S
-           134.6605055    1.0000000000
+               0.4033802    1.0000000000
 S    S
-            51.1272722    1.0000000000
-S    S
-            19.4117641    1.0000000000
-S    S
-             7.3701680    1.0000000000
-S    S
-             2.7982710    1.0000000000
-S    S
-             1.0624345    1.0000000000
-S    S
-             0.4033802    1.0000000000
-S    S
-             0.1531535    1.0000000000
+               0.1531535    1.0000000000
 S    P
-           383.6960801    1.0000000000
+             383.6960801   -0.0037419715
+             137.7583929   -0.0144301532
+              49.4578324   -0.0722875248
+              17.7810959   -0.2421174711
+               6.4141917   -0.4766693981
+               2.3276864   -0.3624122691
+               0.8526609   -0.0372315490
+               0.3166152   -0.0043077185
+               0.1197961    0.0009286455
 S    P
-           137.7583929    1.0000000000
+               2.3276864    1.0000000000
 S    P
-            49.4578324    1.0000000000
+               0.8526609    1.0000000000
 S    P
-            17.7810959    1.0000000000
+               0.3166152    1.0000000000
 S    P
-             6.4141917    1.0000000000
-S    P
-             2.3276864    1.0000000000
-S    P
-             0.8526609    1.0000000000
-S    P
-             0.3166152    1.0000000000
-S    P
-             0.1197961    1.0000000000
+               0.1197961    1.0000000000
 S    D
-             0.8190000    1.0000000000
+               0.8190000    1.0000000000
 S    D
-             0.2690000    1.0000000000
+               0.2690000    1.0000000000
 S    F
-             0.5570000    1.0000000000
-# Cl: derived by scripts/derive_basis.py (atomic-UHF-optimized well-tempered primitives,
-# uncontracted, def2-TZVP-composition polarization; E_atom_UHF = -459.473736 Ha,
-# pinned in tests/test_basis_data.py)
+               0.5570000    1.0000000000
+# Cl: derived + contracted like S -> [8s5p2d1f]; contraction loss
+# 1.85 mHa; E_atom_UHF = -459.478355 Ha (3.7 mHa above the HF limit
+# -459.482072), pinned in tests/test_basis_data.py
 Cl    S
-        164400.3110955    1.0000000000
+          164400.3110955   -0.0001805464
+           24860.6750893   -0.0012833760
+            6743.6776371   -0.0047044219
+            2439.3440815   -0.0141767831
+             942.2318443   -0.0435865942
+             367.7000160   -0.1235138574
+             143.6744508   -0.2931190849
+              56.1460325   -0.4405474004
+              21.9413087   -0.2317401644
+               8.5744482    0.0007964004
+               3.3508103    0.0113327562
+               1.3094638    0.0065162785
+               0.5117256   -0.0017372210
+               0.1999774    0.0001700903
 Cl    S
-         24860.6750893    1.0000000000
+          164400.3110955    0.0000461521
+           24860.6750893    0.0003281755
+            6743.6776371    0.0012090388
+            2439.3440815    0.0036660057
+             942.2318443    0.0115429746
+             367.7000160    0.0343568836
+             143.6744508    0.0928173062
+              56.1460325    0.1893685735
+              21.9413087    0.1562854912
+               8.5744482   -0.3478180463
+               3.3508103   -0.6934055898
+               1.3094638   -0.1521202270
+               0.5117256    0.0105101220
+               0.1999774    0.0051617187
 Cl    S
-          6743.6776371    1.0000000000
+              21.9413087    1.0000000000
 Cl    S
-          2439.3440815    1.0000000000
+               8.5744482    1.0000000000
 Cl    S
-           942.2318443    1.0000000000
+               3.3508103    1.0000000000
 Cl    S
-           367.7000160    1.0000000000
+               1.3094638    1.0000000000
 Cl    S
-           143.6744508    1.0000000000
+               0.5117256    1.0000000000
 Cl    S
-            56.1460325    1.0000000000
-Cl    S
-            21.9413087    1.0000000000
-Cl    S
-             8.5744482    1.0000000000
-Cl    S
-             3.3508103    1.0000000000
-Cl    S
-             1.3094638    1.0000000000
-Cl    S
-             0.5117256    1.0000000000
-Cl    S
-             0.1999774    1.0000000000
+               0.1999774    1.0000000000
 Cl    P
-           485.9828712    1.0000000000
+             485.9828712   -0.0037784341
+             133.2801031   -0.0219344519
+              47.0241866   -0.0916214855
+              17.4514928   -0.2763217251
+               6.5188199   -0.4825863908
+               2.4364382   -0.3087415290
+               0.9106586   -0.0195820276
+               0.3403738   -0.0056492421
+               0.1272204    0.0011513977
 Cl    P
-           133.2801031    1.0000000000
+               2.4364382    1.0000000000
 Cl    P
-            47.0241866    1.0000000000
+               0.9106586    1.0000000000
 Cl    P
-            17.4514928    1.0000000000
+               0.3403738    1.0000000000
 Cl    P
-             6.5188199    1.0000000000
-Cl    P
-             2.4364382    1.0000000000
-Cl    P
-             0.9106586    1.0000000000
-Cl    P
-             0.3403738    1.0000000000
-Cl    P
-             0.1272204    1.0000000000
+               0.1272204    1.0000000000
 Cl    D
-             1.0460000    1.0000000000
+               1.0460000    1.0000000000
 Cl    D
-             0.3440000    1.0000000000
+               0.3440000    1.0000000000
 Cl    F
-             0.7060000    1.0000000000
+               0.7060000    1.0000000000
 END
 """
 

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cctpu.core.basis import nsph
+from cctpu.utils.deadline import check
 from cctpu.ints.df import _DUMMY_C, _DUMMY_E, _aux_schwarz_max
 from cctpu.ints.two_electron import (_class_chunk, eri_quartet_kernel,
                                      pair_classes, schwarz_q)
@@ -188,6 +189,7 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
             padm = np.concatenate([np.zeros(nreal, bool),
                                    np.ones(npad, bool)])
             for s in range(0, len(q1p), chunk):
+                check("df-grad")   # cooperative deadline between dispatches
                 sl1, sl2 = q1p[s:s + chunk], q2p[s:s + chunk]
                 pm = padm[s:s + chunk]
                 aoP = np.where(pm, naux, gP.ao_start[sl1])
@@ -268,6 +270,7 @@ def _grad_2c(aux, coords, Zs_pad, omega):
             padm = np.concatenate([np.zeros(nreal, bool),
                                    np.ones(npad, bool)])
             for s in range(0, len(q1p), chunk):
+                check("df-grad")   # cooperative deadline between dispatches
                 sl1, sl2 = q1p[s:s + chunk], q2p[s:s + chunk]
                 pm = padm[s:s + chunk]
                 aoP = np.where(pm, naux, gP.ao_start[sl1])

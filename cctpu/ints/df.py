@@ -362,7 +362,8 @@ def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
     import time as _t
     key = _bump_key(tag, chunk, dtn)
     start = int(_bump_memo().get(key, 0))
-    for bump in range(start, 3):
+    err = scale = float("nan")
+    for bump in range(max(start, 0), 3 if start >= 0 else 0):
         t0 = _t.time()
         tables = tables_fn(bump)
         _plog(tag, "tables", t0)
@@ -385,6 +386,28 @@ def _dispatch_validated(kern, tables_fn, q1, q2, chunk,
               f"{err:.2e} (scale {scale:.1e}) — corrupt compiled executable;"
               f" retrying with bumped padding floors", file=sys.stderr,
               flush=True)
+    # bump ladder exhausted: compute this class ON HOST with the same
+    # numpy-f64 oracle that flagged it. Bulletproof and cheap for small
+    # classes (the only observed victims are aux-metric classes with a
+    # few hundred quartets); large classes still hard-fail loudly rather
+    # than silently spend minutes per quartet on host.
+    nreal = len(q1)
+    if nreal <= int(os.environ.get("CCTPU_HOST_FALLBACK_MAX_Q", "20000")):
+        print(f"# cctpu: {tag}: computing {nreal} quartets with the "
+              f"HOST oracle (device executable unusable after 2 "
+              f"shape-perturbed recompiles, err {err:.2e})",
+              file=sys.stderr, flush=True)
+        if start != -1:
+            _bump_memo_save(key, -1)     # skip the ladder next build
+        batches = []
+        for i1, i2, padm in _superbatches(q1, q2, chunk):
+            q1f, q2f = i1.ravel(), i2.ravel()
+            blk0 = oracle_blk(int(q1f[0]), int(q2f[0]))
+            blocks = np.zeros((len(q1f),) + blk0.shape)
+            for k in np.where(~padm)[0]:
+                blocks[k] = oracle_blk(int(q1f[k]), int(q2f[k]))
+            batches.append((blocks, q1f, q2f, padm))
+        return batches
     raise RuntimeError(
         f"integral class {tag}: device kernel disagrees with the host "
         f"oracle by {err:.2e} after 2 shape-perturbed recompiles")
@@ -598,7 +621,7 @@ def _precompile_3c(specs, coords, de, dc, dtn="float64", omega=None):
     def args_fn(gP, pc, ls, q1, q2, chunk):
         # start at the memoized good bump so the known-corrupt bump-0
         # executable of an affected class is never compiled again
-        b = int(_bump_memo().get(_bump_key(f"3c2e {ls}", chunk, dtn), 0))
+        b = max(int(_bump_memo().get(_bump_key(f"3c2e {ls}", chunk, dtn), 0)), 0)
 
         def f():
             i1, i2, _ = _superbatches(q1.astype(np.int32),
@@ -608,7 +631,7 @@ def _precompile_3c(specs, coords, de, dc, dtn="float64", omega=None):
         return f
 
     def key(gP, pc, ls, q1, chunk):
-        b = int(_bump_memo().get(_bump_key(f"3c2e {ls}", chunk, dtn), 0))
+        b = max(int(_bump_memo().get(_bump_key(f"3c2e {ls}", chunk, dtn), 0)), 0)
         return (f"3c {ls} om{omega} {dtn} c{chunk} n{_sb_n(len(q1), chunk)}"
                 f" b{b} p{gP.exps.shape[1]},{pc.exps_a.shape[1]},"
                 f"{pc.exps_b.shape[1]} f{_AUX_FLOOR},{_PAIR_FLOOR}")
@@ -620,7 +643,7 @@ def _precompile_3c(specs, coords, de, dc, dtn="float64", omega=None):
 
 def _precompile_2c(specs, coords, de, dc, dtn="float64", omega=None):
     def args_fn(gP, gQ, ls, q1, q2, chunk):
-        b = int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0))
+        b = max(int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0)), 0)
 
         def f():
             i1, i2, _ = _superbatches(q1.astype(np.int32),
@@ -630,7 +653,7 @@ def _precompile_2c(specs, coords, de, dc, dtn="float64", omega=None):
         return f
 
     def key(gP, gQ, ls, q1, chunk):
-        b = int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0))
+        b = max(int(_bump_memo().get(_bump_key(f"2c2e {ls}", chunk, dtn), 0)), 0)
         return (f"2c {ls} om{omega} {dtn} c{chunk} n{_sb_n(len(q1), chunk)}"
                 f" b{b} p{gP.exps.shape[1]},{gQ.exps.shape[1]}"
                 f" f{_AUX_FLOOR}")

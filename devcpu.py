@@ -6,6 +6,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 # CPU-sized dispatch padding (see tests/conftest.py): executing the TPU
 # shape floors on one CPU core wastes ~100x compute on small systems
+# single-threaded AOT precompile: 4 concurrent XLA:CPU compiles of
+# 7-prim contracted classes LLVM-OOM then SEGV the process (r5
+# contract_derived postmortem); concurrency only pays on the
+# remote axon compiler anyway
+os.environ.setdefault("CCTPU_COMPILE_THREADS", "1")
 os.environ.setdefault("CCTPU_NBATCH", "2048")
 os.environ.setdefault("CCTPU_NBATCH_SMALL", "256")
 os.environ.setdefault("CCTPU_CHUNK_CAP", "256")

@@ -41,11 +41,19 @@ from cctpu.scf.hf import RHF, UHF
 SPIN = {"Si": 2, "P": 3, "S": 2, "Cl": 1, "Br": 1}
 HF_LIMIT = {"Si": -288.854362, "P": -340.718780, "S": -397.504896,
             "Cl": -459.482072, "Br": -2572.441332}
-# segments (tight-first prim counts) per channel; remaining prims free.
-# Published def2-TZVP second row: (14s9p)->[5s5p] = s {7,3,1,1,1,1... -> we
-# use [7,3]+4 free = 6s} / p {5,2,1,1 -> [5,2]+2 free = 4p}; slightly looser
-# than the official count but same contraction idea (core-only).
-SEGMENTS = {0: [7, 3], 1: [5, 2], 2: [5]}
+# Core contractions SHARE the tightest primitives (general contraction,
+# the actual def2 construction): every core natural of channel l is
+# projected onto the same tight-first SHARED_NPRIM[l] primitives, and
+# the remaining loose primitives stay free. (The r3-r5 "loses Ha"
+# failures came from DISJOINT segments: projecting the 2s natural onto
+# ONLY primitives 7-9 strips its tight-core part — a 2s without its
+# orthogonality wiggle costs ~90 Ha.)
+# s: (14)->2 contracted over the 8 tightest + 6 free = [8s]; p: (9)->1
+# contracted over 5 tight + 4 free = [5p]. Freeing the MID-range
+# primitives matters: the valence 3s's tight tail lives there, and with
+# only the 4 loosest free the atom lost ~6.5 Ha (measured). A couple of
+# functions beyond the published [5s5p] count buys robustness.
+SHARED_NPRIM = {0: 8, 1: 5, 2: 5}
 # occupied radial functions per channel (how many naturals to contract):
 N_CORE = {"Si": {0: 2, 1: 1}, "P": {0: 2, 1: 1}, "S": {0: 2, 1: 1},
           "Cl": {0: 2, 1: 1}, "Br": {0: 3, 1: 2, 2: 1}}
@@ -84,12 +92,15 @@ def natural_radial(mf, l, exps_sorted, row_idx_by_m):
             D += spin_w * (Cm * occ[s][None, :]) @ Cm.T
     D /= len(row_idx_by_m)
     S = radial_overlap(l, exps_sorted)
-    # generalized symmetric eigenproblem D v = lam S v
-    w, V = np.linalg.eigh(np.linalg.solve(
-        np.linalg.cholesky(S),
-        np.linalg.solve(np.linalg.cholesky(S), D.T).T))
-    Linv = np.linalg.inv(np.linalg.cholesky(S))
-    V = Linv.T @ V                        # back to primitive basis
+    # Natural orbitals in a NONORTHOGONAL basis solve D S c = n c —
+    # symmetrized: eigh(L^T D L) with S = L L^T, then c = L^{-T} y.
+    # (The previous code whitened with S^{-1/2}, i.e. eigh of
+    # S^{-1/2} D S^{-1/2}, whose eigenvalues sum to tr(S^{-1} D) — the
+    # "non-physical occupations, l=0 sum ~ electron count" failure of
+    # rounds 3-4; true occupations sum to tr(D S) per m-channel.)
+    L = np.linalg.cholesky(S)
+    w, Y = np.linalg.eigh(L.T @ D @ L)
+    V = np.linalg.solve(L.T, Y)           # back to primitive basis
     order = np.argsort(w)[::-1]           # by occupation, descending
     return V[:, order], w[order]
 
@@ -121,7 +132,7 @@ def contract_element(el):
         order = np.argsort(exps)[::-1]    # tight first
         exps = exps[order]
         ncore = N_CORE[el].get(l, 0)
-        if ncore == 0 or l not in SEGMENTS:
+        if ncore == 0 or l not in SHARED_NPRIM:
             for a in exps:
                 out_rows.append((l, [a], [1.0]))
             continue
@@ -141,14 +152,19 @@ def contract_element(el):
         Vc = Vc[:, np.argsort(r2)]
         print(f"#   l={l}: natural occupations {np.round(wocc[:ncore+2], 3)}"
               f" r2 {np.round(np.sort(r2), 2)}", flush=True)
-        segs = SEGMENTS[l][:ncore]
-        start = 0
-        for k, nseg in enumerate(segs):
-            seg_idx = np.arange(start, start + nseg)
+        nshared = SHARED_NPRIM[l]
+        # GENERAL contraction over the channel's FULL primitive list:
+        # truncating core naturals to the 8-10 tightest primitives lost
+        # 5-6 Ha (the derived well-tempered ladder spreads core
+        # character into mid-range primitives), while the full span
+        # loses 0.62 mHa (S, measured). Free singles still start at
+        # SHARED_NPRIM so the valence stays flexible.
+        full = os.environ.get("CCTPU_CONTRACT_FULLSPAN", "1") == "1"
+        seg_idx = np.arange(len(exps) if full else nshared)
+        for k in range(ncore):
             coef = project_segment(l, exps, Vc[:, k], seg_idx)
             out_rows.append((l, exps[seg_idx].tolist(), coef.tolist()))
-            start += nseg
-        for a in exps[start:]:
+        for a in exps[nshared:]:
             out_rows.append((l, [a], [1.0]))
 
     # emit + validate

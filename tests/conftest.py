@@ -17,6 +17,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 # they made every DF/ERI test execute ~100x wasted quartets — the
 # "1 test per 10 CPU-minutes" fast-lane failure (VERDICT r3 weak #6).
 # Shapes only; identical math (pinned by the same value assertions).
+# single-threaded AOT precompile: 4 concurrent XLA:CPU compiles of
+# 7-prim contracted classes LLVM-OOM then SEGV the process (r5
+# contract_derived postmortem); concurrency only pays on the
+# remote axon compiler anyway
+os.environ.setdefault("CCTPU_COMPILE_THREADS", "1")
 os.environ.setdefault("CCTPU_NBATCH", "2048")
 os.environ.setdefault("CCTPU_NBATCH_SMALL", "256")
 os.environ.setdefault("CCTPU_CHUNK_CAP", "256")
