@@ -551,6 +551,7 @@ def main():
     # the 1e-8 accuracy contract (VERDICT r4 #7) runs FIRST: it is cheap
     # warm (~1-2 min) and must not depend on how much budget the phenol
     # gradient stage consumes (it ran out twice in r5 rehearsals)
+    global TIMED_OUT
     contract_done = False
     cd = None
     if BUDGET_S > 600:
@@ -562,6 +563,11 @@ def main():
             cd = {"error": str(exc)[:120]}
         finally:
             signal.alarm(0)
+            # the alarm above bounded ONLY the probe: clear the flag it
+            # sets, or every later _checkpoint raises despite a full
+            # remaining budget (r5 rehearsal: a 420 s probe timeout
+            # aborted the whole 2900 s run at phenol's first checkpoint)
+            TIMED_OUT = False
         contract_done = True
     for name, atoms, basis, frac_gate, solve in stages:
         if state["result"] is not None and \
@@ -584,6 +590,7 @@ def main():
                     cd = {"error": str(exc)[:120]}
                 finally:
                     signal.alarm(0)
+                    TIMED_OUT = False      # alarm bounded only the probe
                 contract_done = True
             if cd is not None:
                 r["extra"]["cd_contract"] = cd

@@ -71,6 +71,62 @@ def _pad3(Ws):
     return jnp.pad(Ws, ((0, 1), (0, 1), (0, 1)))
 
 
+class GradKernelCorrupt(RuntimeError):
+    """A gradient-class executable disagrees with the host-f64 FD oracle
+    after shape-perturbed recompiles. Propagated to the caller rather
+    than silently shipping a corrupt nuclear gradient (VERDICT r4 #4)."""
+
+
+# ---------------------------------------------------------------------------
+# Build-time validation of the gradient-class executables (VERDICT r4 #4).
+#
+# The r4 lesson is that the axon backend miscompiles SPECIFIC executables;
+# the DF build guards every dispatched integral class with a host-f64
+# oracle (ints/df.py _dispatch_validated), but the g3/g2 gradient classes
+# — a freshly compiled population of AD-of-the-quartet-kernel modules —
+# shipped unchecked. Here each class's first chunk is spot-checked by a
+# central difference against the same numpy-f64 McMurchie-Davidson oracle:
+# the device computes grad of a masked sub-sum (<= _GVAL_MAX_Q quartets,
+# SAME executable as production — only the mult weights differ), and the
+# host recomputes that sub-sum at coords +/- h along the device gradient's
+# largest component. Corruption shows at O(1e-1)+ relative; healthy
+# device-vs-FD noise (f32 W contraction + FD truncation at h=1e-3 Bohr)
+# measures ~1e-5. A mismatch retries with a DOUBLED chunk (a new shape key
+# -> a new XLA executable, identical math); persistent success/bump is
+# memoized next to the compile cache (same policy as the DF floor-bump
+# memo: the executable IS the shared persistent-cache artifact).
+# ---------------------------------------------------------------------------
+_GVAL_MAX_Q = 96
+_GVAL_TOL_REL = 5e-3
+_GVAL_ON = None
+
+
+def _gval_enabled() -> bool:
+    global _GVAL_ON
+    if _GVAL_ON is None:
+        import os
+        _GVAL_ON = os.environ.get("CCTPU_GRAD_VALIDATE", "1") == "1"
+    return _GVAL_ON
+
+
+_GVAL_OK: set = set()
+
+
+def _gval_pick(gg: np.ndarray):
+    """Largest-magnitude (atom, axis) of the device chunk gradient — the
+    component a central difference can actually resolve."""
+    a0, ax = np.unravel_index(int(np.abs(gg).argmax()), gg.shape)
+    return int(a0), int(ax), float(abs(gg[a0, ax]))
+
+
+def _gval_fd(e_at, coords_np, a0, ax, h=1e-3):
+    cp = coords_np.copy()
+    cp[a0, ax] += h
+    cm = coords_np.copy()
+    cm[a0, ax] -= h
+    return (e_at(cp) - e_at(cm)) / (2.0 * h)
+
+
 @lru_cache(maxsize=None)
 def _g3c_chunk_fn(ls3, omega):
     """grad_R of sum_q mult_q * sum_{p,a,b} (P|ab)_q W[P,a,b] for one
@@ -98,6 +154,107 @@ def _g3c_chunk_fn(ls3, omega):
         return jnp.einsum("q,qpab,qpab->", mult, blocks, Wblk)
 
     return jax.jit(jax.grad(chunk_e, argnums=0))
+
+
+def _validate_3c_chunk(gfn, coords, coords_np, Ws_pad, gP, lP, pc, omega,
+                       sl1, sl2, mult_c, padm_c, naux, nao):
+    """Spot-check one g3 class executable: device grad of a masked
+    sub-sum (same executable as production) vs host-f64 FD. Returns
+    (ok, rel_err)."""
+    idx = np.where(~np.asarray(padm_c))[0][:_GVAL_MAX_Q]
+    if len(idx) == 0:
+        return True, 0.0
+    mask = np.zeros(len(mult_c))
+    mask[idx] = mult_c[idx]
+    aoP = np.where(padm_c, naux, gP.ao_start[sl1])
+    aoA = np.where(padm_c, nao, pc.ao_a[sl2])
+    aoB = np.where(padm_c, nao, pc.ao_b[sl2])
+    gg = np.asarray(gfn(coords, Ws_pad, jnp.asarray(mask),
+                        jnp.asarray(gP.exps[sl1]), jnp.asarray(gP.coefs[sl1]),
+                        jnp.asarray(gP.atom_idx[sl1]), jnp.asarray(aoP),
+                        jnp.asarray(pc.exps_a[sl2]),
+                        jnp.asarray(pc.coefs_a[sl2]),
+                        jnp.asarray(pc.atom_a[sl2]), jnp.asarray(aoA),
+                        jnp.asarray(pc.exps_b[sl2]),
+                        jnp.asarray(pc.coefs_b[sl2]),
+                        jnp.asarray(pc.atom_b[sl2]), jnp.asarray(aoB)))
+    if not np.isfinite(gg).all():
+        return False, float("inf")
+    a0, ax, mag = _gval_pick(gg)
+    if mag < 1e-9:
+        return True, 0.0            # nothing a FD could resolve
+    from cctpu.ints.host_oracle import eri_3c2e_np
+
+    # W blocks are coordinate-independent: fetch each quartet's slice once
+    Wblk = {}
+    for k in idx:
+        i, j = int(sl1[k]), int(sl2[k])
+        p0, A0, B0 = int(gP.ao_start[i]), int(pc.ao_a[j]), int(pc.ao_b[j])
+        Wblk[int(k)] = np.asarray(
+            Ws_pad[p0:p0 + nsph(lP), A0:A0 + nsph(pc.la),
+                   B0:B0 + nsph(pc.lb)], dtype=np.float64)
+
+    def e_at(c):
+        tot = 0.0
+        for k in idx:
+            i, j = int(sl1[k]), int(sl2[k])
+            blk = eri_3c2e_np(
+                lP, gP.exps[i], gP.coefs[i], c[gP.atom_idx[i]],
+                pc.la, pc.exps_a[j], pc.coefs_a[j], c[pc.atom_a[j]],
+                pc.lb, pc.exps_b[j], pc.coefs_b[j], c[pc.atom_b[j]],
+                omega=omega)
+            tot += float(mult_c[k]) * float((blk * Wblk[int(k)]).sum())
+        return tot
+
+    fd = _gval_fd(e_at, coords_np, a0, ax)
+    dev = float(gg[a0, ax])
+    err = abs(dev - fd) / max(abs(fd), abs(dev))
+    return err <= _GVAL_TOL_REL, err
+
+
+def _validate_2c_chunk(gfn, coords, coords_np, Zs_pad, gP, lP, gQ, lQ,
+                       omega, sl1, sl2, mult_c, padm_c, naux):
+    idx = np.where(~np.asarray(padm_c))[0][:_GVAL_MAX_Q]
+    if len(idx) == 0:
+        return True, 0.0
+    mask = np.zeros(len(mult_c))
+    mask[idx] = mult_c[idx]
+    aoP = np.where(padm_c, naux, gP.ao_start[sl1])
+    aoQ = np.where(padm_c, naux, gQ.ao_start[sl2])
+    gg = np.asarray(gfn(coords, Zs_pad, jnp.asarray(mask),
+                        jnp.asarray(gP.exps[sl1]), jnp.asarray(gP.coefs[sl1]),
+                        jnp.asarray(gP.atom_idx[sl1]), jnp.asarray(aoP),
+                        jnp.asarray(gQ.exps[sl2]), jnp.asarray(gQ.coefs[sl2]),
+                        jnp.asarray(gQ.atom_idx[sl2]), jnp.asarray(aoQ)))
+    if not np.isfinite(gg).all():
+        return False, float("inf")
+    a0, ax, mag = _gval_pick(gg)
+    if mag < 1e-9:
+        return True, 0.0
+    from cctpu.ints.host_oracle import eri_2c2e_np
+
+    Zblk = {}
+    for k in idx:
+        i, j = int(sl1[k]), int(sl2[k])
+        p0, q0 = int(gP.ao_start[i]), int(gQ.ao_start[j])
+        Zblk[int(k)] = np.asarray(
+            Zs_pad[p0:p0 + nsph(lP), q0:q0 + nsph(lQ)], dtype=np.float64)
+
+    def e_at(c):
+        tot = 0.0
+        for k in idx:
+            i, j = int(sl1[k]), int(sl2[k])
+            blk = eri_2c2e_np(
+                lP, gP.exps[i], gP.coefs[i], c[gP.atom_idx[i]],
+                lQ, gQ.exps[j], gQ.coefs[j], c[gQ.atom_idx[j]],
+                omega=omega)
+            tot += float(mult_c[k]) * float((blk * Zblk[int(k)]).sum())
+        return tot
+
+    fd = _gval_fd(e_at, coords_np, a0, ax)
+    dev = float(gg[a0, ax])
+    err = abs(dev - fd) / max(abs(fd), abs(dev))
+    return err <= _GVAL_TOL_REL, err
 
 
 @lru_cache(maxsize=None)
@@ -128,7 +285,10 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
     """Accumulate sum dX*W over all classes (eager chunked dispatch)."""
     from cctpu.ints.df import _precompile
 
+    from cctpu.ints.df import _bump_memo, _bump_memo_save
+
     coords = jnp.asarray(coords)
+    coords_np = np.asarray(coords, dtype=np.float64)
     nao = basis.nao
     naux = aux.nao
     pcs = pair_classes(basis)
@@ -150,9 +310,17 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
             q1, q2 = np.mgrid[0:nP, 0:len(pair_sel)]
             q1 = q1.ravel()
             q2 = pair_sel[q2.ravel()]
-            chunk = _class_chunk((lP, 0, pc.la, pc.lb), gP.exps.shape[1],
-                                 1, pc.exps_a.shape[1], pc.exps_b.shape[1])
-            specs.append((gP, lP, pc, q1, q2, chunk))
+            chunk0 = _class_chunk((lP, 0, pc.la, pc.lb), gP.exps.shape[1],
+                                  1, pc.exps_a.shape[1], pc.exps_b.shape[1])
+            # validated-executable memo (shares floor_bumps.json with the
+            # DF build): value = chunk-doubling bump under which this
+            # class last passed the FD oracle; presence = skip re-check
+            key = (f"g3grad {(lP, pc.la, pc.lb)} om{omega} c{chunk0} "
+                   f"p{gP.exps.shape[1]},{pc.exps_a.shape[1]},"
+                   f"{pc.exps_b.shape[1]} na{coords.shape[0]},{naux},{nao}")
+            bump0 = int(_bump_memo().get(key, 0))
+            chunk = chunk0 << bump0
+            specs.append((gP, lP, pc, q1, q2, chunk, key, bump0))
 
     def _aot_args(gP, pc, chunk):
         def f():
@@ -173,21 +341,46 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
                   f"{pc.exps_b.shape[1]}",
                   _g3c_chunk_fn((lP, pc.la, pc.lb), omega),
                   _aot_args(gP, pc, chunk))
-                 for gP, lP, pc, q1, q2, chunk in specs], "3c2e-grad")
+                 for gP, lP, pc, q1, q2, chunk, key, bump0 in specs],
+                "3c2e-grad")
 
-    for gP, lP, pc, q1, q2, chunk in specs:
+    for gP, lP, pc, q1, q2, chunk0b, key, bump0 in specs:
+            import sys
             same = (np.asarray(pc.ia)[q2] == np.asarray(pc.ib)[q2]) \
                 if pc.la == pc.lb else np.zeros(len(q2), bool)
             mult = np.where(same, 0.5, 1.0)
             ls3 = (lP, pc.la, pc.lb)
             gfn = _g3c_chunk_fn(ls3, omega)
             nreal = len(q1)
-            npad = (-nreal) % chunk
-            q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
-            q2p = np.concatenate([q2, np.zeros(npad, np.int64)])
-            multp = np.concatenate([mult, np.zeros(npad)])
-            padm = np.concatenate([np.zeros(nreal, bool),
-                                   np.ones(npad, bool)])
+            need_val = (_gval_enabled() and key not in _GVAL_OK
+                        and key not in _bump_memo())
+            for bump in range(bump0, bump0 + 3):
+                chunk = (chunk0b >> bump0) << bump
+                npad = (-nreal) % chunk
+                q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
+                q2p = np.concatenate([q2, np.zeros(npad, np.int64)])
+                multp = np.concatenate([mult, np.zeros(npad)])
+                padm = np.concatenate([np.zeros(nreal, bool),
+                                       np.ones(npad, bool)])
+                if not need_val:
+                    break
+                check("df-grad validate")
+                ok, verr = _validate_3c_chunk(
+                    gfn, coords, coords_np, Ws_pad, gP, lP, pc, omega,
+                    q1p[:chunk], q2p[:chunk], multp[:chunk], padm[:chunk],
+                    naux, nao)
+                if ok:
+                    _GVAL_OK.add(key)
+                    _bump_memo_save(key, bump)
+                    break
+                print(f"# cctpu: g3 {ls3}: device gradient chunk deviates "
+                      f"from host FD oracle by {verr:.2e} rel — corrupt "
+                      f"executable; retrying at chunk x2", file=sys.stderr,
+                      flush=True)
+            else:
+                raise GradKernelCorrupt(
+                    f"g3 class {ls3}: gradient executable disagrees with "
+                    f"the host FD oracle after 2 chunk-doubled recompiles")
             for s in range(0, len(q1p), chunk):
                 check("df-grad")   # cooperative deadline between dispatches
                 sl1, sl2 = q1p[s:s + chunk], q2p[s:s + chunk]
@@ -216,9 +409,10 @@ def _grad_3c(basis, aux, coords, Ws_pad, omega, screen_tol=1e-12,
 
 
 def _grad_2c(aux, coords, Zs_pad, omega):
-    from cctpu.ints.df import _precompile
+    from cctpu.ints.df import _bump_memo, _bump_memo_save, _precompile
 
     coords = jnp.asarray(coords)
+    coords_np = np.asarray(coords, dtype=np.float64)
     naux = aux.nao
     g = np.zeros(coords.shape)
     pending = []
@@ -238,9 +432,14 @@ def _grad_2c(aux, coords, Zs_pad, omega):
                 mult = np.where(q1 == q2, 0.5, 1.0)
             else:
                 mult = np.ones(len(q1))
-            chunk = _class_chunk((lP, 0, lQ, 0), gP.exps.shape[1], 1,
-                                 gQ.exps.shape[1], 1)
-            specs.append((gP, lP, gQ, lQ, q1, q2, mult, chunk))
+            chunk0 = _class_chunk((lP, 0, lQ, 0), gP.exps.shape[1], 1,
+                                  gQ.exps.shape[1], 1)
+            key = (f"g2grad {(lP, lQ)} om{omega} c{chunk0} "
+                   f"p{gP.exps.shape[1]},{gQ.exps.shape[1]} "
+                   f"na{coords.shape[0]},{naux}")
+            bump0 = int(_bump_memo().get(key, 0))
+            chunk = chunk0 << bump0
+            specs.append((gP, lP, gQ, lQ, q1, q2, mult, chunk, key, bump0))
 
     def _aot_args(gP, gQ, chunk):
         def f():
@@ -257,18 +456,43 @@ def _grad_2c(aux, coords, Zs_pad, omega):
                   f"na{coords.shape[0]},{naux} "
                   f"p{gP.exps.shape[1]},{gQ.exps.shape[1]}",
                   _g2c_chunk_fn((lP, lQ), omega), _aot_args(gP, gQ, chunk))
-                 for gP, lP, gQ, lQ, q1, q2, mult, chunk in specs],
-                "2c2e-grad")
+                 for gP, lP, gQ, lQ, q1, q2, mult, chunk, key, bump0
+                 in specs], "2c2e-grad")
 
-    for gP, lP, gQ, lQ, q1, q2, mult, chunk in specs:
+    for gP, lP, gQ, lQ, q1, q2, mult, chunk0b, key, bump0 in specs:
+            import sys
             gfn = _g2c_chunk_fn((lP, lQ), omega)
             nreal = len(q1)
-            npad = (-nreal) % chunk
-            q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
-            q2p = np.concatenate([q2, np.zeros(npad, np.int64)])
-            multp = np.concatenate([mult, np.zeros(npad)])
-            padm = np.concatenate([np.zeros(nreal, bool),
-                                   np.ones(npad, bool)])
+            need_val = (_gval_enabled() and key not in _GVAL_OK
+                        and key not in _bump_memo())
+            for bump in range(bump0, bump0 + 3):
+                chunk = (chunk0b >> bump0) << bump
+                npad = (-nreal) % chunk
+                q1p = np.concatenate([q1, np.zeros(npad, np.int64)])
+                q2p = np.concatenate([q2, np.zeros(npad, np.int64)])
+                multp = np.concatenate([mult, np.zeros(npad)])
+                padm = np.concatenate([np.zeros(nreal, bool),
+                                       np.ones(npad, bool)])
+                if not need_val:
+                    break
+                check("df-grad validate")
+                ok, verr = _validate_2c_chunk(
+                    gfn, coords, coords_np, Zs_pad, gP, lP, gQ, lQ, omega,
+                    q1p[:chunk], q2p[:chunk], multp[:chunk], padm[:chunk],
+                    naux)
+                if ok:
+                    _GVAL_OK.add(key)
+                    _bump_memo_save(key, bump)
+                    break
+                print(f"# cctpu: g2 {(lP, lQ)}: device gradient chunk "
+                      f"deviates from host FD oracle by {verr:.2e} rel — "
+                      f"corrupt executable; retrying at chunk x2",
+                      file=sys.stderr, flush=True)
+            else:
+                raise GradKernelCorrupt(
+                    f"g2 class {(lP, lQ)}: gradient executable disagrees "
+                    f"with the host FD oracle after 2 chunk-doubled "
+                    f"recompiles")
             for s in range(0, len(q1p), chunk):
                 check("df-grad")   # cooperative deadline between dispatches
                 sl1, sl2 = q1p[s:s + chunk], q2p[s:s + chunk]
